@@ -1,0 +1,42 @@
+"""GuideMaker-TPU: TPU-native CRISPR guide-RNA pool design.
+
+A from-scratch, TPU-first framework with the capabilities of GuideMaker
+(USDA-ARS-GBRU): genome-wide gRNA design for non-model genomes and custom
+CRISPR-Cas systems.  The computational core — genome-wide off-target k-NN —
+runs as exact (not approximate) nearest-neighbor search on TPU MXUs via
+JAX/XLA and Pallas kernels, sharded over device meshes for large genomes.
+
+Public API mirrors the reference package (``/root/reference/guidemaker/``)
+so users can switch with minimal changes:
+
+* :class:`PamTarget` — PAM/target enumeration (vectorized motif scan)
+* :class:`TargetProcessor` — guide filtering + exact off-target k-NN
+* :class:`Annotation` — feature ingestion + nearest-feature join
+* :func:`get_fastas`, :func:`extend_ambiguous_dna`
+* :func:`cfd_score`, :func:`get_doench_efficiency_score`
+* :mod:`guidemaker_tpu.cli` — command line with the reference's flags
+"""
+import os
+
+from .definitions import ROOT_DIR, CONFIG_PATH, WEB_APP, APP_PARAMETER_IMG, APP_EXPERIMENT_FILE
+from .dna import extend_ambiguous_dna, reverse_complement
+from .io import get_fastas, is_gzip
+from .scan import PamTarget
+from .targets import TargetProcessor
+from .annotate import Annotation
+from .score import cfd_score, get_doench_efficiency_score
+from . import doench_predict
+from . import cfd_score_calculator
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PamTarget", "TargetProcessor", "Annotation",
+    "get_fastas", "is_gzip", "extend_ambiguous_dna", "reverse_complement",
+    "cfd_score", "get_doench_efficiency_score",
+    "doench_predict", "cfd_score_calculator",
+    "ROOT_DIR", "CONFIG_PATH", "WEB_APP",
+]
+
+# `guidemaker_tpu.core` namespace mirrors `guidemaker.core` for drop-in use.
+from . import core  # noqa: E402

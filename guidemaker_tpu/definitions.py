@@ -1,0 +1,9 @@
+"""Package paths (mirrors reference definitions.py + __init__.py resources)."""
+import os
+
+ROOT_DIR = os.path.dirname(os.path.abspath(__file__))
+DATA_DIR = os.path.join(ROOT_DIR, "data")
+CONFIG_PATH = os.path.join(DATA_DIR, "config_default.yaml")
+WEB_APP = os.path.join(ROOT_DIR, "app.py")
+APP_PARAMETER_IMG = None
+APP_EXPERIMENT_FILE = os.path.join(DATA_DIR, "PooledCRISPRExperiments.md")

@@ -1,0 +1,138 @@
+"""Exact Hamming k-NN as tiled MXU matmuls with a fused running top-k.
+
+Design (TPU-first, not a port):
+
+The Hamming distance between two equal-length ACGT guides is
+``L - matches``, and ``matches`` is the inner product of their one-hot
+encodings.  So the all-pairs distance computation is a matmul of
+``(nq, 4L) @ (4L, nd)`` one-hot matrices — exactly the shape the MXU wants
+(bf16 inputs, f32 accumulation; 0/1 values and sums <= 30 are exact in bf16).
+
+To avoid materializing the ``nq x nd`` matrix, the database is processed in
+tiles under ``lax.scan``; each tile's distances are packed with their global
+database index into a single int32 sort key ``(dist << 24) | idx`` and merged
+into a per-query running top-k via ``lax.top_k``.  The key packing gives
+deterministic ascending-(distance, index) ordering — replicating the
+reference's "hit 0 is self" semantics (core.py:502-523) without its
+nondeterministic ``set()`` ordering.
+
+This module is pure JAX and runs on TPU and CPU (tests) unchanged.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: bits reserved for the database index inside the packed int32 sort key.
+IDX_BITS = 24
+IDX_MASK = (1 << IDX_BITS) - 1
+#: sentinel key larger than any real (dist, idx) pair.
+INF_KEY = np.int32(1 << 30)
+
+MAX_DB = 1 << IDX_BITS  # 16.7M guides per shard; shard beyond this.
+
+
+def pack_keys(dist: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(distance, db index) -> single int32 ascending sort key."""
+    return (dist.astype(jnp.int32) << IDX_BITS) | idx.astype(jnp.int32)
+
+
+def unpack_keys(keys: np.ndarray):
+    """Packed keys -> (dist, idx); sentinel keys -> (-1, -1)."""
+    keys = np.asarray(keys)
+    invalid = keys >= INF_KEY
+    dist = (keys >> IDX_BITS).astype(np.int32)
+    idx = (keys & IDX_MASK).astype(np.int32)
+    dist[invalid] = -1
+    idx[invalid] = -1
+    return dist, idx
+
+
+def _merge_topk(best: jnp.ndarray, cand_keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Merge candidate keys into the running per-row top-k (smallest keys)."""
+    allk = jnp.concatenate([best, cand_keys], axis=1)
+    neg_top, _ = jax.lax.top_k(-allk, k)
+    return -neg_top
+
+
+@functools.partial(jax.jit, static_argnames=("k", "length", "db_tile"))
+def _topk_tiles(q_oh, db_oh, db_n, idx_offset, *, k, length, db_tile):
+    """Running top-k of packed keys for one query block over all db tiles.
+
+    Args:
+      q_oh: (tq, 4L) one-hot queries (bf16).
+      db_oh: (nd_pad, 4L) one-hot database, nd_pad % db_tile == 0 (bf16).
+      db_n: scalar int32, number of valid database rows.
+      idx_offset: scalar int32 added to local indices (global shard offset).
+    Returns:
+      (tq, k) int32 packed keys, ascending.
+    """
+    nd_pad = db_oh.shape[0]
+    n_tiles = nd_pad // db_tile
+    tq = q_oh.shape[0]
+    init = jnp.full((tq, k), INF_KEY, dtype=jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, db_tile), 1)
+
+    def body(best, t):
+        tile = jax.lax.dynamic_slice_in_dim(db_oh, t * db_tile, db_tile)
+        matches = jnp.dot(q_oh, tile.T, preferred_element_type=jnp.float32)
+        dist = (jnp.float32(length) - matches).astype(jnp.int32)
+        gidx = t * db_tile + lane
+        keys = jnp.where(gidx < db_n,
+                         pack_keys(dist, gidx + idx_offset),
+                         INF_KEY)
+        return _merge_topk(best, keys, k), None
+
+    best, _ = jax.lax.scan(body, init, jnp.arange(n_tiles, dtype=jnp.int32))
+    return best
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+    return arr
+
+
+def hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray, k: int,
+                 length: int, *, db_tile: int = 8192, q_tile: int = 2048,
+                 idx_offset: int = 0):
+    """Exact k smallest Hamming distances of every query against the database.
+
+    Host-side driver: pads to tile multiples, runs the jitted tiled kernel
+    per query block, unpacks keys.
+
+    Returns:
+      (dists, idx): two (nq, k) int32 arrays, ascending by (dist, idx).
+      Entries beyond the database size are (-1, -1).
+    """
+    nq, nd = q_onehot.shape[0], db_onehot.shape[0]
+    if nd > MAX_DB:
+        raise ValueError(f"database shard too large ({nd} > {MAX_DB}); shard it")
+    k_eff = min(k, nd)
+    db_tile = min(db_tile, max(256, 1 << (int(nd - 1).bit_length())))
+    q_tile = min(q_tile, max(256, 1 << (int(nq - 1).bit_length())))
+
+    db_dev = jnp.asarray(_pad_rows(db_onehot, db_tile), dtype=jnp.bfloat16)
+    q_pad = _pad_rows(q_onehot, q_tile)
+    db_n = jnp.int32(nd)
+    off = jnp.int32(idx_offset)
+
+    out = np.empty((q_pad.shape[0], k_eff), dtype=np.int32)
+    for i in range(0, q_pad.shape[0], q_tile):
+        q_dev = jnp.asarray(q_pad[i:i + q_tile], dtype=jnp.bfloat16)
+        keys = _topk_tiles(q_dev, db_dev, db_n, off,
+                           k=k_eff, length=length, db_tile=db_tile)
+        out[i:i + q_tile] = np.asarray(keys)
+    out = out[:nq]
+
+    dist, idx = unpack_keys(out)
+    if k_eff < k:
+        pad = np.full((nq, k - k_eff), -1, dtype=np.int32)
+        dist = np.concatenate([dist, pad], axis=1)
+        idx = np.concatenate([idx, pad], axis=1)
+    return dist, idx

@@ -1,0 +1,218 @@
+"""PAM/target enumeration: vectorized degenerate-motif scan over the genome.
+
+TPU-native replacement for the reference's ``PamTarget`` class
+(``/root/reference/guidemaker/core.py:39-292``).  Instead of an overlapped
+``regex.finditer`` scan (a C-extension byte loop), the genome is encoded as a
+uint8 code array and a degenerate PAM is matched with an AND-reduction of
+per-position IUPAC bit masks over shifted views — O(|genome| * |PAM|)
+vectorized ops, overlap-native, both strands.
+
+Output is a pandas DataFrame with the exact schema, row order, coordinate
+conventions and edge-case semantics of the reference:
+
+* coordinates are 0-based, target-only (PAM excluded), ``start < stop`` in
+  forward-text coordinates even for reverse-strand hits (core.py:142-246);
+* ``strand``: True=forward; ``pam_orientation``: True=5prime (core.py:162-165);
+* targets containing non-ACGT or truncated by a contig edge are dropped
+  (``check_target``, core.py:127-140);
+* the 30-mer Doench context window replicates *Python slice semantics*
+  including the negative-index quirk at contig edges (core.py:156,184,210,237)
+  — malformed windows are kept here and dropped later by the table formatter,
+  exactly like the reference.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Iterable, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from . import dna
+from .io.records import record_id_and_seq
+
+logger = logging.getLogger(__name__)
+
+IUPAC_LETTERS = set("ACGTMRWSYKVHDBXN")
+
+
+def scan_motif(codes: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """Return all (overlapping) start positions where the motif matches.
+
+    ``codes``: uint8 genome codes; ``masks``: per-position IUPAC bit masks.
+    """
+    n, p = codes.shape[0], masks.shape[0]
+    if n < p:
+        return np.empty(0, dtype=np.int64)
+    bits = dna.CODE_TO_BIT[codes]
+    match = (bits[: n - p + 1] & masks[0]) != 0
+    for j in range(1, p):
+        match &= (bits[j: n - p + 1 + j] & masks[j]) != 0
+    return np.nonzero(match)[0]
+
+
+def _valid_windows(inv_prefix: np.ndarray, a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """Windows [a, b) fully inside [0, n) with no invalid (non-ACGT) codes."""
+    ok = (a >= 0) & (b <= n) & (b > a)
+    res = np.zeros(a.shape[0], dtype=bool)
+    if ok.any():
+        aa, bb = a[ok], b[ok]
+        res[ok] = (inv_prefix[bb] - inv_prefix[aa]) == 0
+    return res
+
+
+def _extract_rows(codes: np.ndarray, starts: np.ndarray, length: int) -> np.ndarray:
+    """Gather (len(starts), length) windows from a 1-D code array."""
+    if starts.size == 0:
+        return np.empty((0, length), dtype=np.uint8)
+    return codes[starts[:, None] + np.arange(length)[None, :]]
+
+
+def _py_slice(seq: str, a: int, b: int) -> str:
+    """seq[a:b] with Python's negative-index semantics (reference quirk)."""
+    return seq[a:b]
+
+
+class PamTarget:
+    """A PAM motif plus methods to enumerate all matching targets.
+
+    Drop-in equivalent of the reference class (core.py:39-292): same
+    constructor validation, same ``find_targets`` DataFrame contract.
+    """
+
+    def __init__(self, pam: str, pam_orientation: str, dtype: str = "hamming") -> None:
+        for letter in pam.upper():
+            assert letter in IUPAC_LETTERS
+        assert pam_orientation in ["3prime", "5prime"]
+        self.pam: str = pam.upper()
+        self.pam_orientation: str = pam_orientation
+        self.dtype: str = dtype
+
+    def __str__(self) -> str:
+        return "A PAM object: {self.pam}".format(self=self)
+
+    # ------------------------------------------------------------------
+    def find_targets(self, seq_record_iter: Iterable, target_len: int) -> pd.DataFrame:
+        """Find all targets matching the PAM on both strands of all contigs."""
+        frames: List[pd.DataFrame] = []
+        fwd_masks = dna.pam_bit_masks(self.pam)
+        rev_masks = dna.pam_bit_masks(dna.reverse_complement(self.pam))
+        p = len(self.pam)
+        is5 = self.pam_orientation == "5prime"
+
+        for record in seq_record_iter:
+            rid, seq = record_id_and_seq(record)
+            codes = dna.STRICT_BYTE_TO_CODE[
+                np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+            n = codes.shape[0]
+            inv_prefix = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(codes >= 4, out=inv_prefix[1:])
+
+            fwd_hits = scan_motif(codes, fwd_masks)
+            rev_hits = scan_motif(codes, rev_masks)
+
+            for strand_fwd, hits in ((True, fwd_hits), (False, rev_hits)):
+                df = self._hits_to_frame(
+                    seq, codes, inv_prefix, n, hits, p, target_len,
+                    strand_fwd=strand_fwd, is5=is5)
+                df["seqid"] = rid
+                if not df.empty:
+                    frames.append(df)
+
+        frames = [f for f in frames if not f.empty]
+        df_targets = pd.concat(frames, ignore_index=True)
+        df_targets = df_targets.astype(
+            {"target": "str", "exact_pam": "category", "start": "uint32",
+             "stop": "uint32", "strand": "bool", "pam_orientation": "bool",
+             "seqid": "category"})
+        df_targets = df_targets.assign(
+            seedseq=None, hasrestrictionsite=None, isseedduplicated=None)
+        df_targets = df_targets.assign(dtype=self.dtype)
+        df_targets = df_targets.astype({"dtype": "category"})
+        return df_targets
+
+    # ------------------------------------------------------------------
+    def _hits_to_frame(self, seq, codes, inv_prefix, n, hits, p, target_len,
+                       *, strand_fwd: bool, is5: bool) -> pd.DataFrame:
+        """Convert motif hit positions into target rows for one strand.
+
+        Replicates the four reference generators run_for_5p / run_for_3p /
+        run_rev_5p / run_rev_3p (core.py:142-246).  On the reverse strand the
+        *reverse-complemented PAM* was matched on forward text, so the hit
+        geometry mirrors: a rev-strand "5prime" hit takes the target upstream
+        of the motif (and reverse-complements it).
+        """
+        L = target_len
+        s, e = hits, hits + p
+        # Geometry table (forward-text coordinates of the target window):
+        #   fwd 5p: [e, e+L)   ctx30 = [s-3, s+27)
+        #   fwd 3p: [s-L, s)   ctx30 = [e-27, e+3)
+        #   rev 5p: [s-L, s)   ctx30 = revcomp([e-27, e+3))
+        #   rev 3p: [e, e+L)   ctx30 = revcomp([s-3, s+27))
+        downstream = (is5 and strand_fwd) or (not is5 and not strand_fwd)
+        if downstream:
+            a, b = e, e + L
+        else:
+            a, b = s - L, s
+        valid = _valid_windows(inv_prefix, a, b, n)
+        s, e, a, b = s[valid], e[valid], a[valid], b[valid]
+        if s.size == 0:
+            return pd.DataFrame(columns=[
+                "target", "exact_pam", "start", "stop", "strand",
+                "pam_orientation", "target_seq30"])
+
+        tmat = _extract_rows(codes, a, L)
+        pmat = _extract_rows(codes, s, p)
+        if strand_fwd:
+            targets = dna.decode_rows(tmat)
+            pams = dna.decode_rows(pmat)
+        else:
+            targets = dna.decode_rows(dna.revcomp_codes(tmat))
+            pams = dna.decode_rows(dna.revcomp_codes(pmat))
+
+        # 30-mer context with Python slice semantics (edge rows may be short
+        # or wrapped; kept as-is, dropped later — reference behavior).
+        if is5:
+            c_lo, c_hi = (s - 3, s + 27) if strand_fwd else (e - 27, e + 3)
+        else:
+            c_lo, c_hi = (e - 27, e + 3) if strand_fwd else (s - 3, s + 27)
+        ctx_ok = (c_lo >= 0) & (c_hi <= n)
+        ctx30: List[str] = [""] * s.size
+        if ctx_ok.any():
+            cmat = _extract_rows(codes, c_lo[ctx_ok].astype(np.int64), 30)
+            if not strand_fwd:
+                cmat = dna.revcomp_codes(cmat)
+            # decode through the permissive table: context may contain
+            # non-ACGT letters which the reference keeps verbatim; we map
+            # them to N for decoding, and recover exact text from the raw
+            # string where the window contains invalid codes.
+            good = dna.decode_rows(cmat)
+            gi = 0
+            for i in np.nonzero(ctx_ok)[0]:
+                ctx30[i] = good[gi]
+                gi += 1
+            # windows containing non-ACGT letters: take exact text
+            has_inv = np.zeros(s.size, dtype=bool)
+            lo = c_lo.copy()
+            lo[lo < 0] = 0
+            has_inv[ctx_ok] = (inv_prefix[np.minimum(c_hi[ctx_ok], n)]
+                               - inv_prefix[lo[ctx_ok]]) > 0
+            for i in np.nonzero(ctx_ok & has_inv)[0]:
+                raw = _py_slice(seq, int(c_lo[i]), int(c_hi[i]))
+                ctx30[i] = (dna.reverse_complement(raw)
+                            if not strand_fwd else raw)
+        for i in np.nonzero(~ctx_ok)[0]:
+            raw = _py_slice(seq, int(c_lo[i]), int(c_hi[i]))
+            if not strand_fwd:
+                raw = dna.reverse_complement(raw)
+            ctx30[i] = raw
+
+        return pd.DataFrame({
+            "target": targets,
+            "exact_pam": pams,
+            "start": a,
+            "stop": b,
+            "strand": strand_fwd,
+            "pam_orientation": is5,
+            "target_seq30": ctx30,
+        })

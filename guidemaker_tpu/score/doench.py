@@ -1,0 +1,139 @@
+"""Doench 2016 on-target efficiency scoring (TreeEnsemble in JAX).
+
+Replaces the reference's onnxruntime session (doench_predict.py:83-131) with
+a batched gather-based descent over the gradient-boosted trees extracted
+from the same model format: at each of ``max_depth`` steps every (sequence,
+tree) pair advances one level — no data-dependent control flow, static
+shapes, runs under ``jit`` on TPU or CPU.
+
+Bit-compatibility: thresholds are compared in float32 against the float32
+cast of the float64 feature matrix, and per-tree leaf weights are summed
+sequentially in float32 in tree order — matching onnxruntime's accumulation
+(validated against the reference's golden scores,
+``/root/reference/tests/test_core.py:259-263``).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..definitions import DATA_DIR
+from .doench_features import featurize
+from .onnx_tree import TreeEnsemble, parse_tree_ensemble
+
+logger = logging.getLogger(__name__)
+
+MODEL = os.path.join(DATA_DIR, "doench_v3_trees.npz")
+MODEL_META = os.path.join(DATA_DIR, "doench_v3_options.json")
+
+_ENSEMBLE_CACHE = {}
+
+
+def load_ensemble(model_file: Optional[str] = None) -> TreeEnsemble:
+    """Load a tree ensemble from our .npz or directly from a .onnx file."""
+    path = model_file or MODEL
+    if path not in _ENSEMBLE_CACHE:
+        if path.endswith(".onnx"):
+            ens = TreeEnsemble.from_attrs(parse_tree_ensemble(path))
+        else:
+            ens = TreeEnsemble.load_npz(path)
+        _ENSEMBLE_CACHE[path] = ens
+    return _ENSEMBLE_CACHE[path]
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _tree_leaf_weights(x, feature, threshold, children, is_leaf, value,
+                       *, max_depth: int):
+    """Per-(sequence, tree) leaf weight after descending the trees.
+
+    x: (B, F) float32; tree arrays as in TreeEnsemble -> (B, T) float32.
+    """
+    n_trees = feature.shape[0]
+    batch = x.shape[0]
+    node = jnp.zeros((batch, n_trees), dtype=jnp.int32)
+    tree_ix = jnp.arange(n_trees)[None, :]
+    for _ in range(max_depth):
+        feat = feature[tree_ix, node]                       # (B, T)
+        thr = threshold[tree_ix, node]
+        leaf = is_leaf[tree_ix, node]
+        xv = jnp.take_along_axis(x, feat.reshape(batch, -1), axis=1)
+        go_true = xv <= thr
+        nxt = jnp.where(go_true, children[tree_ix, node, 0],
+                        children[tree_ix, node, 1])
+        node = jnp.where(leaf, node, nxt)
+    return value[tree_ix, node]
+
+
+def ensemble_predict(ens: TreeEnsemble, features: np.ndarray) -> np.ndarray:
+    """Evaluate the ensemble; returns (B, 1) float32 like onnxruntime."""
+    x = jnp.asarray(features.astype(np.float32))
+    w = np.asarray(_tree_leaf_weights(
+        x, jnp.asarray(ens.feature), jnp.asarray(ens.threshold),
+        jnp.asarray(ens.children), jnp.asarray(ens.is_leaf),
+        jnp.asarray(ens.value), max_depth=ens.max_depth))
+    # sequential float32 accumulation in tree order (onnxruntime-compatible)
+    score = np.zeros(w.shape[0], dtype=np.float32)
+    for t in range(w.shape[1]):
+        score += w[:, t]
+    score += np.float32(ens.base_value)
+    return score[:, None]
+
+
+def predict(seq: np.ndarray, model_file: Optional[str] = None,
+            model_metadata: Optional[str] = None, pam_audit: bool = True,
+            length_audit: bool = False, num_threads: int = 1) -> np.ndarray:
+    """Predict Doench-2016 regression scores for 30-mer sequences.
+
+    Signature-compatible with the reference's ``doench_predict.predict``
+    (doench_predict.py:83-131).  ``model_file`` may be our ``.npz`` or an
+    skl2onnx ``.onnx`` TreeEnsembleRegressor.  ``num_threads`` is accepted
+    for compatibility (featurization is vectorized, no process pool).
+    """
+    if not isinstance(seq, np.ndarray):
+        raise AssertionError("Please ensure seq is a numpy array")
+    if len(seq) == 0 or len(seq[0]) <= 0:
+        raise AssertionError("Make sure that seq is not empty")
+    if not isinstance(seq[0], str):
+        raise AssertionError(
+            "Please ensure input sequences are in string format, i.e. 'AGAG' "
+            "rather than ['A' 'G' 'A' 'G'] or alternate representations")
+    if model_metadata is not None:
+        with open(model_metadata) as f:
+            json.load(f)  # accepted for API parity; all feature sets are built
+    ens = load_ensemble(model_file)
+    feats = featurize(list(seq), pam_audit=pam_audit)
+    return ensemble_predict(ens, feats)
+
+
+def get_doench_efficiency_score(df, pam_orientation, num_threads=1):
+    """Append the ``Efficiency`` column (reference core.py:1152-1166).
+
+    Replicates the reference's gating quirks verbatim: requires 3prime PAM
+    orientation and the PAM set to equal exactly {AGG, CGG, TGG, GGG}; drops
+    guides with N in the 30-mer context before scoring.
+    """
+    checkset = {"AGG", "CGG", "TGG", "GGG"}
+    df2 = df[-df.target_seq30.str.contains("N")]
+    if len(df) != len(df2):
+        logger.warning(
+            "%d guides were removed from consideration because there were N's "
+            "in the region flanking the PAM site. These cannot be scored.",
+            len(df) - len(df2))
+    if pam_orientation == "3prime" and set(df2.PAM) == checkset:
+        doenchscore = predict(
+            np.array([x.upper() for x in df2.target_seq30]),
+            num_threads=num_threads)
+        df2["Efficiency"] = doenchscore.ravel()
+    else:
+        logger.warning(
+            "NOTE: doench_efficiency_score based on Doench et al. 2016 - can "
+            "only be used for NGG PAM). Check PAM sequence and PAM orientation")
+        df2["Efficiency"] = "Not Available"
+    return df2.drop("target_seq30", axis=1)

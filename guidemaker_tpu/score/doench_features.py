@@ -1,0 +1,103 @@
+"""Doench et al. 2016 featurization: 30-mer -> 627 features, vectorized.
+
+Replaces the reference's per-sequence Python loops + multiprocessing fan-out
+(``/root/reference/guidemaker/doench_featurization.py:85-218``) with batched
+numpy scatter/bincount ops (the multiprocessing Pool becomes unnecessary —
+the whole featurization is a handful of vectorized passes).
+
+Feature blocks, concatenated in the reference's dict-insertion order
+(``doench_predict.py:45-80`` + ``doench_featurization.py:53-77``), which the
+model requires exactly:
+
+    _nuc_pd_Order1  (120)  position-dependent mononucleotide one-hot (ATCG)
+    _nuc_pi_Order1  (4)    mononucleotide counts (ATCG)
+    _nuc_pd_Order2  (464)  position-dependent dinucleotide one-hot (ATCG x ATCG)
+    _nuc_pi_Order2  (16)   dinucleotide counts
+    gc_above_10     (1)    gc_count > 10 over the 20-mer [4:24]
+    gc_below_10     (1)    gc_count < 10
+    gc_count        (1)
+    NGGX            (16)   one-hot of seq[24]+seq[27] (ACGT x ACGT)
+    Tm              (4)    RNA_NN2 melting temperatures (see tm.py)
+
+Column order inside nucleotide blocks follows ``product('ATCG', ...)``
+(doench_featurization.py:127-140); NGGX follows ``product('ACGT', ...)``
+(doench_featurization.py:264).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from .. import dna
+from .tm import tm_features
+
+N_FEATURES = 627
+
+#: ACGT code -> index in 'ATCG' ordering (A=0, T=1, C=2, G=3).
+_CODE_TO_ATCG = np.array([0, 2, 3, 1], dtype=np.int64)
+
+
+def encode30(seqs: Sequence[str]) -> np.ndarray:
+    """Encode and validate a batch of 30-mers (uppercase ACGT)."""
+    arr = np.stack([dna.encode(s) for s in seqs])
+    if arr.shape[1] != 30:
+        raise AssertionError("Sequences should be 30 nt long")
+    if (arr >= 4).any():
+        raise AssertionError("sequences must be ACGT only")
+    return arr
+
+
+def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
+    """(n,) 30-mer strings -> (n, 627) float64 feature matrix."""
+    codes = encode30(seqs)
+    n = codes.shape[0]
+    if pam_audit:
+        bad = (codes[:, 25] != dna.G) | (codes[:, 26] != dna.G)
+        if bad.any():
+            i = int(np.nonzero(bad)[0][0])
+            raise Exception(f"expected GG but found {seqs[i][25:27]}")
+
+    atcg = _CODE_TO_ATCG[codes]                       # (n, 30) in ATCG order
+    rows = np.repeat(np.arange(n), 30)
+
+    # _nuc_pd_Order1: (n, 120) one-hot, 4 cols per position
+    pd1 = np.zeros((n, 120), dtype=np.float64)
+    pd1[rows, np.tile(np.arange(30), n) * 4 + atcg.reshape(-1)] = 1.0
+
+    # _nuc_pi_Order1: (n, 4) counts
+    pi1 = np.zeros((n, 4), dtype=np.float64)
+    np.add.at(pi1, (rows, atcg.reshape(-1)), 1.0)
+
+    # dinucleotide index in product('ATCG', repeat=2) order
+    d2 = atcg[:, :-1] * 4 + atcg[:, 1:]               # (n, 29)
+    rows29 = np.repeat(np.arange(n), 29)
+
+    # _nuc_pd_Order2: (n, 464) one-hot, 16 cols per position
+    pd2 = np.zeros((n, 464), dtype=np.float64)
+    pd2[rows29, np.tile(np.arange(29), n) * 16 + d2.reshape(-1)] = 1.0
+
+    # _nuc_pi_Order2: (n, 16) counts
+    pi2 = np.zeros((n, 16), dtype=np.float64)
+    np.add.at(pi2, (rows29, d2.reshape(-1)), 1.0)
+
+    # GC features over the 20-mer [4:24]
+    gc_count = ((codes[:, 4:24] == dna.G) | (codes[:, 4:24] == dna.C)) \
+        .sum(axis=1).astype(np.float64)
+    gc_above = (gc_count > 10).astype(np.float64)
+    gc_below = (gc_count < 10).astype(np.float64)
+
+    # NGGX: one-hot of seq[24] + seq[27] in product('ACGT', repeat=2) order
+    nx = codes[:, 24].astype(np.int64) * 4 + codes[:, 27].astype(np.int64)
+    nggx = np.zeros((n, 16), dtype=np.float64)
+    nggx[np.arange(n), nx] = 1.0
+
+    tm4 = tm_features(codes)
+
+    out = np.concatenate([
+        pd1, pi1, pd2, pi2,
+        gc_above[:, None], gc_below[:, None], gc_count[:, None],
+        nggx, tm4,
+    ], axis=1)
+    assert out.shape[1] == N_FEATURES
+    return out

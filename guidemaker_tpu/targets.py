@@ -1,0 +1,236 @@
+"""Guide pool processing: filters, exact off-target k-NN, control guides.
+
+TPU-native equivalent of the reference's ``TargetProcessor``
+(``/root/reference/guidemaker/core.py:295-633``) with the same public
+methods and semantics, but the NMSLib HNSW index replaced by the exact
+MXU-matmul k-NN engine in :mod:`guidemaker_tpu.knn`.
+
+Deliberate fixes vs the reference (documented, all strictly stronger):
+
+* the index is built over the *first-occurrence-ordered* deduplicated
+  target list instead of hash-ordered ``list(set(...))`` (core.py:446) —
+  results are deterministic;
+* reported "Similar guides" strings are looked up in the index's own
+  ordering (the reference indexed the full targets column with dedup-set
+  indices — core.py:513 — making those strings unreliable);
+* control search succeeding on the last escalation rung returns instead of
+  raising ``IndexError`` (reference loop condition quirk, core.py:586).
+"""
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+import statistics
+from copy import deepcopy
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from . import dna
+from .io.records import record_id_and_seq
+from .knn import KnnIndex
+
+logger = logging.getLogger(__name__)
+
+pd.options.mode.chained_assignment = None
+
+
+class TargetProcessor:
+    """A set of candidate gRNA targets plus processing state."""
+
+    def __init__(self, targets: pd.DataFrame, lsr: int, editdist: int = 2,
+                 knum: int = 2) -> None:
+        self.targets = targets
+        self.lsr: int = lsr
+        self.editdist: int = editdist
+        self.knum: int = knum
+        self.index: Optional[KnnIndex] = None
+        self.neighbors: Dict = {}
+        self.ncontrolsearched: Optional[int] = None
+        self.gc_percent: Optional[float] = None
+        self.genomesize: Optional[float] = None
+        self.pam_orientation: bool = bool(targets["pam_orientation"].iat[0])
+
+    # `nmslib_index` name kept for API compatibility with the reference.
+    @property
+    def nmslib_index(self):
+        return self.index
+
+    def __str__(self) -> str:
+        return "TargetList: contains a set of {} potential PAM targets".format(
+            len(self.targets))
+
+    def __len__(self) -> int:
+        return len(self.targets)
+
+    # ------------------------------------------------------------------
+    def check_restriction_enzymes(self, restriction_enzyme_list: list = None) -> None:
+        """Flag guides containing a restriction site or its reverse complement.
+
+        Matches reference behavior (core.py:354-377): rows are *flagged*,
+        never dropped; the flag feeds the neighbor-query filter.
+        """
+        if restriction_enzyme_list is None:
+            restriction_enzyme_list = []
+        element_to_exclude: List[str] = []
+        for record in set(restriction_enzyme_list):
+            for letter in record.upper():
+                assert letter in set("ACGTMRWSYKVHDBXN")
+            element_to_exclude.extend(dna.extend_ambiguous_dna(record.upper()))
+            element_to_exclude.extend(
+                dna.extend_ambiguous_dna(dna.reverse_complement(record.upper())))
+        if element_to_exclude:
+            pattern = re.compile("|".join(element_to_exclude))
+            self.targets["hasrestrictionsite"] = self.targets["target"].apply(
+                lambda s: bool(pattern.search(s)))
+        else:
+            self.targets["hasrestrictionsite"] = False
+
+    # ------------------------------------------------------------------
+    def find_unique_near_pam(self) -> None:
+        """Mark targets whose PAM-proximal seed region is duplicated.
+
+        Seed = first ``lsr`` bases for 5prime PAMs, last ``lsr`` for 3prime;
+        ``lsr == 0`` means the whole guide (core.py:388-416).  First
+        occurrence is kept (pandas ``duplicated`` default).
+        """
+        lsr = self.lsr
+
+        def _get_prox(tseq: str) -> str:
+            if lsr == 0:
+                return tseq
+            if self.pam_orientation:          # 5prime
+                return tseq[0:lsr]
+            return tseq[(len(tseq) - lsr):]   # 3prime
+
+        self.targets = deepcopy(self.targets)
+        self.targets.loc[:, "seedseq"] = self.targets.loc[:, "target"].apply(_get_prox)
+        self.targets.loc[:, "isseedduplicated"] = (
+            self.targets.loc[:, "seedseq"].duplicated())
+
+    # ------------------------------------------------------------------
+    def create_index(self, configpath: str = None, num_threads: int = 2) -> None:
+        """Build the exact k-NN index over the deduplicated target set.
+
+        ``configpath``/``num_threads`` are accepted for reference CLI/API
+        compatibility; the exact engine has no recall hyperparameters
+        (NMSLIB M/efC/ef/post become no-ops — exactness replaces tuning).
+        """
+        if configpath is not None:
+            with open(configpath) as cf:
+                yaml.safe_load(cf)  # validated for parity; no knobs needed
+        notduplicated_targets = pd.unique(self.targets["target"]).tolist()
+        metric = str(self.targets["dtype"].iat[0])
+        metric = "hamming" if metric == "hamming" else "leven"
+        logger.info("Building exact %s k-NN index over %d unique targets",
+                    metric, len(notduplicated_targets))
+        self.index = KnnIndex(notduplicated_targets, metric=metric)
+
+    # ------------------------------------------------------------------
+    def get_neighbors(self, configpath: str = None, num_threads: int = 2) -> None:
+        """Exact k-NN for all seed-unique-or-restriction-free targets.
+
+        Keeps a query iff its second-nearest neighbor (hit 0 is self) is at
+        least ``editdist`` away — the reference's thresholding at
+        core.py:509-522, with the one-hot x2 factor already divided out.
+        The reference's ``|`` (OR) query filter at core.py:495 is
+        replicated verbatim.
+        """
+        mask = ((self.targets["isseedduplicated"] == False)  # noqa: E712
+                | (self.targets["hasrestrictionsite"] == False))  # noqa: E712
+        unique_targets = self.targets.loc[mask]["target"].tolist()
+        # dedup queries (dict semantics collapse duplicates anyway)
+        query_seqs = list(dict.fromkeys(unique_targets))
+        dists, idxs = self.index.query(query_seqs, k=self.knum)
+        neighbor_dict: Dict = {}
+        for qi, queryseq in enumerate(query_seqs):
+            drow = dists[qi]
+            if len(drow) < 2 or drow[1] < 0:
+                continue
+            if drow[1] >= self.editdist:
+                valid = drow >= 0
+                neighbor_dict[queryseq] = {
+                    "target": queryseq,
+                    "neighbors": {
+                        "seqs": self.index.neighbor_seqs(idxs[qi][valid]),
+                        "dist": [int(d) for d in drow[valid]],
+                    },
+                }
+        self.neighbors = neighbor_dict
+        logger.info("%d of %d queried targets passed the distance filter",
+                    len(neighbor_dict), len(query_seqs))
+
+    # ------------------------------------------------------------------
+    def export_bed(self) -> pd.DataFrame:
+        """Seed-unique targets as a sorted 5-column BED-like frame
+        (core.py:525-543)."""
+        df = deepcopy(self.targets.loc[self.targets["isseedduplicated"] == False])  # noqa: E712
+        df = df[["seqid", "start", "stop", "target", "strand"]]
+        df = df.assign(strand=np.where(df["strand"], "+", "-"))
+        df.columns = ["chrom", "chromstart", "chromend", "name", "strand"]
+        df = df.astype({"chrom": "str"})
+        df.sort_values(by=["chrom", "chromstart"], inplace=True)
+        return df
+
+    # ------------------------------------------------------------------
+    def get_control_seqs(self, seq_record_iter, configpath: str,
+                         length: int = 20, n: int = 10,
+                         num_threads: int = 2):
+        """Random non-targeting controls maximally distant from the genome.
+
+        Replicates core.py:545-633: sample with genome GC composition,
+        exact nearest-target distance via the index, keep the n most
+        distant, escalate the candidate pool through
+        ``CONTROL_SEARCH_MULTIPLE`` until the minimum distance reaches
+        ``MINIMUM_HMDIST``.  Raises IndexError when the ladder is
+        exhausted (and, unlike the reference, *returns* on success at the
+        final rung).
+        """
+        with open(configpath) as cf:
+            config = yaml.safe_load(cf)
+        minimum_hmdist_target = config["CONTROL"]["MINIMUM_HMDIST"]
+        multiples = config["CONTROL"]["CONTROL_SEARCH_MULTIPLE"]
+
+        totlen = 0
+        gccnt = 0.0
+        for record in seq_record_iter:
+            _, seq = record_id_and_seq(record)
+            gccnt += dna.gc_fraction(seq) * len(seq)
+            totlen += len(seq)
+        gc = gccnt / totlen
+        self.gc_percent = gc * 100
+        self.genomesize = totlen / (1024 * 1024)
+
+        rng = np.random.default_rng()
+        bases = np.array([2, 1, 0, 3], dtype=np.uint8)  # G, C, A, T codes
+        probs = [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2]
+
+        sort_seq: List[str] = []
+        sort_dist: List[float] = []
+        search_mult = 0
+        for search_mult in multiples:
+            m = n * search_mult
+            codes = rng.choice(bases, size=(m, length), replace=True, p=probs)
+            seqs = dna.decode_rows(codes)
+            dists, _ = self.index.query(seqs, k=1)
+            nearest = dists[:, 0].astype(np.int64)
+            order = np.argsort(-nearest, kind="stable")[:n]
+            sort_seq = [seqs[i] for i in order]
+            sort_dist = [float(nearest[i]) for i in order]
+            if int(min(sort_dist)) >= minimum_hmdist_target:
+                break
+        else:
+            raise IndexError(
+                "Could not find controls with minimum distance %d even with "
+                "a search pool of %d" % (minimum_hmdist_target, n * search_mult))
+
+        self.ncontrolsearched = search_mult * n
+        randomdf = pd.DataFrame(
+            data={"Sequences": sort_seq, "Hamming distance": sort_dist})
+        randomdf["name"] = randomdf["Sequences"].apply(
+            lambda s: "Cont-" + hashlib.md5(s.encode()).hexdigest())
+        randomdf = randomdf[["name", "Sequences", "Hamming distance"]]
+        return (min(sort_dist), statistics.median(sort_dist), randomdf)

@@ -1,0 +1,147 @@
+"""k-NN engine tests: numpy/python oracles, determinism, reference goldens."""
+import numpy as np
+import pytest
+
+from guidemaker_tpu import dna
+from guidemaker_tpu.knn import KnnIndex, knn_search
+from guidemaker_tpu.knn.hamming import hamming_topk, pack_keys, unpack_keys
+from guidemaker_tpu.knn.leven import leven_block, leven_topk
+
+
+def _random_seqs(rng, n, length):
+    return ["".join(rng.choice(list("ACGT"), size=length)) for _ in range(n)]
+
+
+def _oracle_hamming(q, db):
+    qa = np.stack([dna.encode(s) for s in q])
+    da = np.stack([dna.encode(s) for s in db])
+    return (qa[:, None, :] != da[None, :, :]).sum(axis=2)
+
+
+def _oracle_leven(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _topk_oracle(dist_matrix, k):
+    """ascending (dist, idx) per row."""
+    nq, nd = dist_matrix.shape
+    keys = dist_matrix.astype(np.int64) * (1 << 24) + np.arange(nd)[None, :]
+    order = np.sort(keys, axis=1)[:, :k]
+    return (order >> 24).astype(np.int32), (order & ((1 << 24) - 1)).astype(np.int32)
+
+
+def test_pack_unpack_keys_roundtrip():
+    d = np.array([[0, 3], [40, 1]], dtype=np.int32)
+    i = np.array([[7, 123456], [0, 2]], dtype=np.int32)
+    import jax.numpy as jnp
+    keys = np.asarray(pack_keys(jnp.asarray(d), jnp.asarray(i)))
+    dd, ii = unpack_keys(keys)
+    assert (dd == d).all() and (ii == i).all()
+
+
+@pytest.mark.parametrize("nq,nd,k", [(5, 7, 3), (100, 300, 5), (257, 1025, 20)])
+def test_hamming_topk_vs_oracle(nq, nd, k):
+    rng = np.random.default_rng(nq * nd)
+    q = _random_seqs(rng, nq, 20)
+    db = _random_seqs(rng, nd, 20)
+    dists, idx = knn_search(db, q, k, metric="hamming")
+    odists, oidx = _topk_oracle(_oracle_hamming(q, db), k)
+    np.testing.assert_array_equal(dists, odists)
+    np.testing.assert_array_equal(idx, oidx)
+
+
+def test_hamming_self_distance_zero():
+    rng = np.random.default_rng(0)
+    seqs = _random_seqs(rng, 50, 20)
+    dists, idx = knn_search(seqs, seqs, 2, metric="hamming")
+    assert (dists[:, 0] == 0).all()
+    np.testing.assert_array_equal(idx[:, 0], np.arange(50))
+
+
+def test_hamming_tie_break_by_index():
+    db = ["AAAA", "AAAT", "AAAT", "TTTT"]
+    dists, idx = knn_search(db, ["AAAA"], 3, metric="hamming")
+    np.testing.assert_array_equal(dists[0], [0, 1, 1])
+    np.testing.assert_array_equal(idx[0], [0, 1, 2])
+
+
+def test_k_larger_than_db_pads_with_minus_one():
+    dists, idx = knn_search(["ACGT", "TTTT"], ["ACGT"], 5)
+    assert (dists[0, 2:] == -1).all() and (idx[0, 2:] == -1).all()
+
+
+@pytest.mark.parametrize("L", [8, 20, 27])
+def test_leven_block_vs_oracle(L):
+    rng = np.random.default_rng(L)
+    q = _random_seqs(rng, 12, L)
+    db = _random_seqs(rng, 17, L)
+    qa = np.stack([dna.encode(s) for s in q])
+    da = np.stack([dna.encode(s) for s in db])
+    got = np.asarray(leven_block(qa, da, length=L))
+    want = np.array([[_oracle_leven(a, b) for b in db] for a in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_leven_topk_vs_oracle():
+    rng = np.random.default_rng(7)
+    q = _random_seqs(rng, 40, 20)
+    db = _random_seqs(rng, 200, 20)
+    dists, idx = knn_search(db, q, 4, metric="leven")
+    dm = np.array([[_oracle_leven(a, b) for b in db] for a in q])
+    odists, oidx = _topk_oracle(dm, 4)
+    np.testing.assert_array_equal(dists, odists)
+    np.testing.assert_array_equal(idx, oidx)
+
+
+def test_leven_insertion_semantics():
+    # 1 substitution vs 1 insertion: leven sees 1 and 2, hamming sees 1 and 16
+    # (the reference's key semantic contract, test_core.py:319-348)
+    g1 = "CTAGTCACTAGCTGACAGCA"
+    g2 = "CTAGACACTAGCTGACAGCA"
+    g3 = "TAGTCACTAGCTGACTAGCA"
+    dl, _ = knn_search([g1, g2, g3], [g1], 3, metric="leven")
+    dh, _ = knn_search([g1, g2, g3], [g1], 3, metric="hamming")
+    assert dl[0].tolist() == [0, 1, 2]
+    assert dh[0].tolist() == [0, 1, 16]
+
+
+def test_index_reuse_and_neighbor_seqs():
+    rng = np.random.default_rng(3)
+    db = _random_seqs(rng, 64, 20)
+    index = KnnIndex(db, metric="hamming")
+    d1, i1 = index.query(db[:5], 3)
+    d2, i2 = index.query(db[:5], 3)
+    np.testing.assert_array_equal(i1, i2)
+    assert index.neighbor_seqs(i1[0]) == [db[j] for j in i1[0]]
+
+
+def test_hamming_large_tiled_path():
+    # force multiple db tiles and query tiles
+    rng = np.random.default_rng(11)
+    q = _random_seqs(rng, 70, 20)
+    db = _random_seqs(rng, 600, 20)
+    q_oh = dna.one_hot_matrix(np.stack([dna.encode(s) for s in q]))
+    db_oh = dna.one_hot_matrix(np.stack([dna.encode(s) for s in db]))
+    dists, idx = hamming_topk(q_oh, db_oh, 4, 20, db_tile=256, q_tile=32)
+    odists, oidx = _topk_oracle(_oracle_hamming(q, db), 4)
+    np.testing.assert_array_equal(dists, odists)
+    np.testing.assert_array_equal(idx, oidx)
+
+
+def test_leven_tiled_path():
+    rng = np.random.default_rng(13)
+    q = _random_seqs(rng, 30, 15)
+    db = _random_seqs(rng, 300, 15)
+    qa = np.stack([dna.encode(s) for s in q])
+    da = np.stack([dna.encode(s) for s in db])
+    dists, idx = leven_topk(qa, da, 3, db_tile=128, q_tile=16)
+    dm = np.array([[_oracle_leven(a, b) for b in db] for a in q])
+    odists, oidx = _topk_oracle(dm, 3)
+    np.testing.assert_array_equal(dists, odists)
+    np.testing.assert_array_equal(idx, oidx)

@@ -1,0 +1,116 @@
+"""TargetProcessor tests mirroring the reference suite (test_core.py:85-155)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from guidemaker_tpu import PamTarget, TargetProcessor
+from guidemaker_tpu.io import parse_fasta
+
+
+def _fixture_targets():
+    # 3-row fixture from reference test_core.py:67-82
+    tardict = {
+        "target": ["AAATGGTACGTTATGTGTTA", "AAATGGTACGTTATGTGTTA",
+                   "AACAGTAAAATGGTTTAATG"],
+        "exact_pam": ["AGG", "TGG", "CGG"],
+        "start": [35, 41, 158572],
+        "stop": [55, 61, 158592],
+        "strand": [True, True, False],
+        "pam_orientation": [False, False, False],
+        "target_seq30": ["TTAGGAAATGGTACGTTATGTGTTATAAGA",
+                         "AATGGTACGTTATGTGTTATAAGAATTTCT",
+                         "AACGGAACAGTAAAATGGTTTAATGATACA"],
+        "seqid": ["AP009180.1", "AP009180.2", "AP009180.1"],
+        "seedseq": [None] * 3,
+        "isseedduplicated": [None] * 3,
+        "hasrestrictionsite": [None] * 3,
+        "dtype": ["hamming"] * 3,
+    }
+    targets = pd.DataFrame(tardict)
+    return targets.astype({
+        "target": "str", "exact_pam": "category", "start": "uint32",
+        "stop": "uint32", "strand": "bool", "pam_orientation": "bool",
+        "seqid": "category"})
+
+
+def test_check_restriction_enzymes():
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=10, editdist=2, knum=2)
+    tl.check_restriction_enzymes(["NGGTAB"])
+    assert tl.targets["hasrestrictionsite"][0] == True  # noqa: E712
+
+
+def test_check_restriction_enzymes_empty():
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=10, editdist=2, knum=2)
+    tl.check_restriction_enzymes([])
+    assert (tl.targets["hasrestrictionsite"] == False).all()  # noqa: E712
+
+
+def test_find_unique_near_pam():
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=10, editdist=2, knum=2)
+    tl.check_restriction_enzymes(["NGGTAB"])
+    tl.find_unique_near_pam()
+    assert tl.targets[tl.targets["isseedduplicated"] == False].shape == (2, 12)  # noqa: E712
+
+
+def test_seedseq_orientation():
+    # 3prime PAM (pam_orientation False) -> seed is the PAM-proximal suffix
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=5, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    assert tl.targets["seedseq"][0] == "TGTTA"
+
+
+def test_get_neighbors_golden(configpath):
+    # reference golden: second-nearest distance 12 (test_core.py:116-126)
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=10, editdist=2, knum=2)
+    tl.check_restriction_enzymes(["NRAGCA"])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    assert tl.neighbors["AAATGGTACGTTATGTGTTA"]["neighbors"]["dist"][1] == 12
+    # neighbor sequences correspond to the reported distances (our fix of
+    # the reference's set-ordering bug): nearest is self
+    nb = tl.neighbors["AAATGGTACGTTATGTGTTA"]["neighbors"]
+    assert nb["seqs"][0] == "AAATGGTACGTTATGTGTTA"
+    assert nb["seqs"][1] == "AACAGTAAAATGGTTTAATG"
+
+
+def test_export_bed(configpath):
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=10, editdist=2, knum=10)
+    tl.check_restriction_enzymes(["NRAGCA"])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    df = tl.export_bed()
+    assert df.shape == (2, 5)
+    assert list(df.columns) == ["chrom", "chromstart", "chromend", "name", "strand"]
+    assert set(df["strand"]) <= {"+", "-"}
+
+
+def test_get_control_seqs(genome_fasta, configpath):
+    # reference shape golden (test_core.py:144-155)
+    pamobj = PamTarget("NGG", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=10)
+    tl.check_restriction_enzymes(["NRAGCA"])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    data = tl.get_control_seqs(parse_fasta(genome_fasta), length=20, n=100,
+                               num_threads=2, configpath=configpath)
+    assert data[2].shape == (100, 3)
+    assert data[0] >= 7  # MINIMUM_HMDIST reached
+    assert list(data[2].columns) == ["name", "Sequences", "Hamming distance"]
+    assert data[2]["name"].str.startswith("Cont-").all()
+    assert tl.gc_percent is not None and tl.genomesize is not None
+
+
+def test_neighbors_or_filter_quirk(configpath):
+    # the reference queries targets that are seed-unique OR restriction-free
+    # (core.py:495) — a seed-duplicated but restriction-free target IS queried
+    targets = _fixture_targets()
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=0, knum=2)
+    tl.check_restriction_enzymes([])          # nothing flagged
+    tl.find_unique_near_pam()                 # row 1 is a seed duplicate
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    # with editdist=0 every queried target passes; dedup means 2 unique keys
+    assert len(tl.neighbors) == 2
