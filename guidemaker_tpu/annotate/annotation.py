@@ -1,2 +1,271 @@
-class Annotation:  # placeholder, replaced below
-    pass
+"""Annotation: feature ingestion, nearest-feature join, filters, output table.
+
+Drop-in equivalent of the reference's ``Annotation`` class
+(``/root/reference/guidemaker/core.py:636-984``) built on first-party
+parsers (:mod:`guidemaker_tpu.io`) and the owned interval engine
+(:mod:`guidemaker_tpu.annotate.closest`) instead of Biopython + pybedtools.
+
+Feature ids are md5 hashes of a canonical feature string (opaque join keys;
+the reference hashed Biopython's ``SeqFeature.__str__``, core.py:721 — ids
+differ but are used consistently everywhere).
+
+Known reference quirks replicated on purpose:
+
+* ``_get_qualifiers``'s MINIMUM_PROPORTION filter is dead code upstream
+  (``len(quals)/len(feature_dict[featkey])`` is always 1.0, core.py:801),
+  so every qualifier key except the excluded ones is kept;
+* ``_filter_features`` concatenates overlapping query results and may
+  duplicate rows (core.py:886);
+* the GFF path stores 1-based GFF coordinates directly as bed-style
+  chromStart (core.py:741), and ``_format_guide_table`` adds +1 again;
+* only the start columns get the 1-based offset in the final table
+  (core.py:945-946).
+"""
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+from copy import deepcopy
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from ..io import parse_genbank, parse_gff, sniff_gff_type
+from ..io.gffio import parse_attributes
+from .closest import closest_join
+
+logger = logging.getLogger(__name__)
+
+
+class Annotation:
+    """Targets + gene annotations: ingestion, join, filtering, formatting."""
+
+    def __init__(self, annotation_list: List[str], annotation_type: str,
+                 target_bed_df: pd.DataFrame) -> None:
+        self.annotation_list = annotation_list
+        self.annotation_type = annotation_type
+        self.target_bed_df = target_bed_df
+        self.genbank_bed_df: pd.DataFrame = None
+        self.feature_dict: Dict = None
+        self.nearby: pd.DataFrame = None
+        self.filtered_df: pd.DataFrame = None
+        self.qualifiers: pd.DataFrame = None
+        self.pretty_df: pd.DataFrame = None
+
+    # ------------------------------------------------------------------
+    def check_annotation_type(self) -> str:
+        """"gff" or "gtf" from the version pragma (core.py:665-689)."""
+        return sniff_gff_type(self.annotation_list[0])
+
+    # ------------------------------------------------------------------
+    def get_annotation_features(self, feature_types: List[str] = None) -> None:
+        """Parse features of the requested types into a bed frame + a
+        qualifier dict-of-dicts (core.py:691-772)."""
+        if feature_types is None:
+            feature_types = ["CDS"]
+        feature_dict: Dict[str, Dict[str, object]] = {}
+        pddict = dict(chrom=[], chromStart=[], chromEnd=[], name=[], strand=[])
+
+        if self.annotation_type == "genbank":
+            for gbfile in self.annotation_list:
+                for entry in parse_genbank(gbfile):
+                    for record in entry.features:
+                        if record.type not in feature_types:
+                            continue
+                        featid = hashlib.md5(
+                            (entry.id + ":" + record.canonical_str()).encode()
+                        ).hexdigest()
+                        pddict["strand"].append("-" if record.strand == -1 else "+")
+                        pddict["chrom"].append(entry.id)
+                        pddict["chromStart"].append(int(record.start))
+                        pddict["chromEnd"].append(int(record.end))
+                        pddict["name"].append(featid)
+                        for qkey, qval in record.qualifiers.items():
+                            feature_dict.setdefault(qkey, {})[featid] = qval
+        elif self.annotation_type == "gff":
+            anno_format = self.check_annotation_type()
+            for gff in self.annotation_list:
+                for rec in parse_gff(gff):
+                    if rec.type not in feature_types:
+                        continue
+                    featid = hashlib.md5(rec.raw().encode()).hexdigest()
+                    # NOTE: 1-based GFF coords stored verbatim, like the
+                    # reference (core.py:740-742)
+                    pddict["chrom"].append(rec.seqid)
+                    pddict["chromStart"].append(rec.start)
+                    pddict["chromEnd"].append(rec.end)
+                    pddict["strand"].append(rec.strand)
+                    pddict["name"].append(featid)
+                    for fkey, fval in parse_attributes(
+                            rec.attributes, anno_format).items():
+                        feature_dict.setdefault(fkey, {})[featid] = fval
+        self.genbank_bed_df = pd.DataFrame.from_dict(pddict)
+        self.feature_dict = feature_dict
+
+    # ------------------------------------------------------------------
+    def _get_qualifiers(self, configpath: str, excluded: List[str] = None) -> None:
+        """Per-feature qualifier table (core.py:775-815)."""
+        with open(configpath) as cf:
+            config = yaml.safe_load(cf)
+        min_prop = config["MINIMUM_PROPORTION"]
+        if excluded is None:
+            excluded = ["translation"]
+        final_quals = []
+        qual_df = pd.DataFrame(data={"Feature id": []})
+        for featkey, quals in self.feature_dict.items():
+            # reference quirk: ratio of a dict to itself -> always kept
+            if len(quals) / len(self.feature_dict[featkey]) > min_prop:
+                final_quals.append(featkey)
+        for qualifier in final_quals:
+            if qualifier in excluded:
+                continue
+            featlist, quallist = [], []
+            for feat, qual in self.feature_dict[qualifier].items():
+                featlist.append(feat)
+                if isinstance(qual, list):
+                    quallist.append(";".join(str(i) for i in qual))
+                else:
+                    quallist.append(qual)
+            tempdf = pd.DataFrame({"Feature id": featlist, qualifier: quallist})
+            qual_df = qual_df.merge(tempdf, how="outer", on="Feature id")
+        self.qualifiers = qual_df
+
+    # ------------------------------------------------------------------
+    def _get_nearby_features(self) -> None:
+        """Closest feature down- and upstream of every guide (core.py:817-848)."""
+        featurebed = self.genbank_bed_df.copy()
+        featurebed["chromStart"] = featurebed["chromStart"].astype(np.int64)
+        featurebed["chromEnd"] = featurebed["chromEnd"].astype(np.int64)
+        featurebed = featurebed.sort_values(
+            by=["chrom", "chromStart", "chromEnd"], kind="stable")
+        mapbed = self.target_bed_df.copy()
+        mapbed["chromstart"] = mapbed["chromstart"].astype(np.int64)
+        mapbed["chromend"] = mapbed["chromend"].astype(np.int64)
+        mapbed = mapbed.sort_values(
+            by=["chrom", "chromstart", "chromend"], kind="stable")
+
+        downstream = closest_join(mapbed, featurebed, "downstream")
+        downstream["direction"] = "downstream"
+        upstream = closest_join(mapbed, featurebed, "upstream")
+        upstream["direction"] = "upstream"
+        headers = {0: "Accession", 1: "Guide start", 2: "Guide end",
+                   3: "Guide sequence", 4: "Guide strand",
+                   5: "Feature Accession", 6: "Feature start",
+                   7: "Feature end", 8: "Feature id", 9: "Feature strand",
+                   10: "Feature distance"}
+        nearby = pd.concat([downstream, upstream], axis=0)
+        self.nearby = nearby.rename(columns=headers)
+
+    # ------------------------------------------------------------------
+    def _filter_features(self, before_feat: int = 100,
+                         after_feat: int = 200) -> None:
+        """Keep guides close enough to a feature to interact (core.py:851-886).
+
+        Seven clauses over (guide strand x feature strand x distance), with
+        the reference's row order and potential duplicates preserved.
+        """
+        nb = self.nearby
+        gplus = nb["Guide strand"] == "+"
+        gminus = nb["Guide strand"] == "-"
+        fplus = nb["Feature strand"] == "+"
+        fminus = nb["Feature strand"] == "-"
+        dist = nb["Feature distance"]
+        zero = dist == 0
+
+        filtered = nb[(nb["Guide strand"] == nb["Feature strand"])
+                      & (0 < dist) & (dist < before_feat)]
+        p1 = nb[gplus & fplus & zero
+                & (nb["Guide end"] - nb["Feature start"] < after_feat)]
+        p2 = nb[gminus & fminus & zero
+                & (nb["Feature end"] - nb["Guide start"] < after_feat)]
+        p3 = nb[gminus & fplus
+                & (0 < nb["Feature start"] - nb["Guide end"])
+                & (nb["Feature start"] - nb["Guide end"] < before_feat)]
+        p4 = nb[gplus & fminus
+                & (0 < nb["Guide start"] - nb["Feature end"])
+                & (nb["Guide start"] - nb["Feature end"] < before_feat)]
+        p5 = nb[gminus & fplus
+                & (0 < nb["Guide end"] - nb["Feature start"])
+                & (nb["Guide end"] - nb["Feature start"] < after_feat)]
+        p6 = nb[gplus & fminus
+                & (0 < nb["Feature end"] - nb["Guide start"])
+                & (nb["Feature end"] - nb["Guide start"] < after_feat)]
+        self.filtered_df = pd.concat([filtered, p1, p2, p3, p4, p5, p6], axis=0)
+
+    # ------------------------------------------------------------------
+    def _format_guide_table(self, targetprocessor_object) -> None:
+        """Final "pretty" guide table (core.py:888-948)."""
+        def gc(seq):
+            return sum(1 for c in seq if c in "GC") / len(seq)
+
+        def get_guide_hash(seq):
+            return hashlib.md5(seq.encode()).hexdigest()
+
+        def get_off_target_score(seq):
+            dlist = targetprocessor_object.neighbors[seq]["neighbors"]["dist"]
+            return ";".join(str(i) for i in dlist)
+
+        def get_off_target_seqs(seq):
+            return ";".join(
+                targetprocessor_object.neighbors[seq]["neighbors"]["seqs"])
+
+        pretty_df = deepcopy(self.filtered_df)
+        pretty_df = pretty_df[pretty_df["Guide sequence"].isin(
+            list(targetprocessor_object.neighbors.keys()))]
+        pretty_df["GC"] = pretty_df["Guide sequence"].apply(gc)
+        pretty_df["Guide name"] = pretty_df["Guide sequence"].apply(get_guide_hash)
+        pretty_df["Target strand"] = np.where(
+            pretty_df["Guide strand"] == pretty_df["Feature strand"],
+            "coding", "non-coding")
+        pretty_df["Similar guide distances"] = pretty_df["Guide sequence"].apply(
+            get_off_target_score)
+        pretty_df["Similar guides"] = pretty_df["Guide sequence"].apply(
+            get_off_target_seqs)
+
+        targets = targetprocessor_object.targets.copy()
+        targets["start"] = targets["start"].astype(np.int64)
+        targets["stop"] = targets["stop"].astype(np.int64)
+        targets["seqid"] = targets["seqid"].astype(str)
+        pretty_df = pd.merge(
+            pretty_df, targets, how="left",
+            left_on=["Guide sequence", "Guide start", "Guide end", "Accession"],
+            right_on=["target", "start", "stop", "seqid"])
+        pretty_df = pretty_df.rename(columns={"exact_pam": "PAM"})
+        pretty_df = pretty_df[[
+            "Guide name", "Guide sequence", "GC", "dtype", "Accession",
+            "Guide start", "Guide end", "Guide strand", "PAM", "Feature id",
+            "Feature start", "Feature end", "Feature strand",
+            "Feature distance", "Similar guides", "Similar guide distances",
+            "target_seq30"]]
+        pretty_df = pretty_df.merge(self.qualifiers, how="left", on="Feature id")
+        pretty_df = pretty_df.sort_values(by=["Accession", "Feature start"])
+        # 1-based offset applied to start columns only (reference behavior)
+        pretty_df["Guide start"] = pretty_df["Guide start"] + 1
+        pretty_df["Feature start"] = pretty_df["Feature start"] + 1
+        pretty_df = pretty_df.loc[
+            pretty_df["target_seq30"].apply(lambda s: len(s) == 30)]
+        self.pretty_df = pretty_df
+
+    # ------------------------------------------------------------------
+    def _filterlocus(self, attribute: str = "locus_tag",
+                     filter_by_locus: list = None) -> pd.DataFrame:
+        """Optional subset by attribute values (core.py:950-965)."""
+        if filter_by_locus is None:
+            filter_by_locus = []
+        df = deepcopy(self.pretty_df)
+        if len(filter_by_locus) > 0:
+            df = df[df[attribute].isin(filter_by_locus)]
+        return df
+
+    # ------------------------------------------------------------------
+    def locuslen(self):
+        """(first qualifier key, its feature count) (core.py:967-984)."""
+        da_keys = list(self.feature_dict.keys())
+        firsttag = da_keys[0] if da_keys else None
+        if firsttag:
+            return firsttag, len(self.feature_dict[firsttag].keys())
+        logger.warning("A locus key could not be found.")
+        return "notag", 0

@@ -111,16 +111,32 @@ def cfd_batch(wt_codes: np.ndarray, off_codes: np.ndarray) -> np.ndarray:
 
 
 def cfd_score(df):
-    """Append 'CFD Similar Guides' and 'Max CFD' columns (core.py:1129-1148)."""
+    """Append 'CFD Similar Guides' and 'Max CFD' columns (core.py:1129-1148).
+
+    'CFD Similar Guides' scores every listed similar guide (aligned with the
+    'Similar guides' column, which leads with the self-hit at distance 0).
+    'Max CFD' is taken over the *non-identical* neighbors only: with this
+    package's corrected neighbor mapping the first listed guide is always
+    the query itself (CFD 1.0 by definition), which would make a max over
+    all entries meaningless.  (The reference maxed over all entries, but its
+    'Similar guides' strings were scrambled by a set-ordering bug —
+    core.py:446 vs core.py:513 — so the issue was latent there.)
+    """
     mm_scores, _ = get_mm_pam_scores()
 
     def cfd_calculator(knnstrlist, guide):
         return [str(calc_cfd(guide, item, mm_scores=mm_scores))
                 for item in knnstrlist.split(";")]
 
+    def max_cfd(row):
+        seqs = row["Similar guides"].split(";")
+        scores = [float(x) for x in row["CFD Similar Guides"]]
+        offtarget = [s for seq, s in zip(seqs, scores)
+                     if seq != row["Guide sequence"]]
+        return max(offtarget) if offtarget else max(scores)
+
     df["CFD Similar Guides"] = df.apply(
         lambda x: cfd_calculator(x["Similar guides"], x["Guide sequence"]),
         axis=1)
-    df["Max CFD"] = df["CFD Similar Guides"].apply(
-        lambda lst: sorted(float(x) for x in lst)[-1])
+    df["Max CFD"] = df.apply(max_cfd, axis=1)
     return df

