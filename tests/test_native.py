@@ -1,0 +1,61 @@
+"""Native (C++) runtime parity tests vs the numpy/JAX reference paths."""
+import numpy as np
+import pytest
+
+from guidemaker_tpu import dna, native
+from guidemaker_tpu.knn.hamming import hamming_topk
+from guidemaker_tpu.knn.leven import leven_block
+from guidemaker_tpu.scan import scan_motif
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_encode_parity():
+    s = "ACGTNacgtMRWS"
+    want = dna.STRICT_BYTE_TO_CODE[np.frombuffer(s.encode(), np.uint8)]
+    np.testing.assert_array_equal(native.encode(s), want)
+
+
+@pytest.mark.parametrize("pam", ["NGG", "TTTV", "NNGRRT"])
+def test_scan_parity(pam):
+    rng = np.random.default_rng(1)
+    genome = rng.integers(0, 5, size=50000).astype(np.uint8)
+    masks = dna.pam_bit_masks(pam)
+    np.testing.assert_array_equal(native.scan_pam(genome, masks),
+                                  scan_motif(genome, masks))
+
+
+@pytest.mark.parametrize("L,k", [(20, 3), (27, 10), (12, 2)])
+def test_hamming_topk_parity(L, k):
+    rng = np.random.default_rng(L * k)
+    db = rng.integers(0, 4, size=(700, L)).astype(np.uint8)
+    q = db[:150]
+    dn, idxn = native.hamming_topk(q, db, k)
+    dj, idxj = hamming_topk(dna.one_hot_matrix(q), dna.one_hot_matrix(db), k, L)
+    np.testing.assert_array_equal(dn, dj)
+    np.testing.assert_array_equal(idxn, idxj)
+
+
+def test_hamming_topk_threads_deterministic():
+    rng = np.random.default_rng(9)
+    db = rng.integers(0, 4, size=(500, 20)).astype(np.uint8)
+    d1, i1 = native.hamming_topk(db, db, 4, n_threads=1)
+    d8, i8 = native.hamming_topk(db, db, 4, n_threads=8)
+    np.testing.assert_array_equal(d1, d8)
+    np.testing.assert_array_equal(i1, i8)
+
+
+def test_hamming_k_exceeds_db():
+    db = np.zeros((2, 10), dtype=np.uint8)
+    d, i = native.hamming_topk(db, db, 5)
+    assert (d[:, 2:] == -1).all()
+
+
+def test_levenshtein_parity():
+    rng = np.random.default_rng(4)
+    for L in (8, 20, 27):
+        a = rng.integers(0, 4, size=(1, L)).astype(np.uint8)
+        b = rng.integers(0, 4, size=(1, L)).astype(np.uint8)
+        want = int(np.asarray(leven_block(a, b, length=L))[0, 0])
+        assert native.levenshtein(a[0], b[0]) == want

@@ -1,0 +1,68 @@
+"""Multi-device sharded k-NN tests on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from guidemaker_tpu import dna
+from guidemaker_tpu.knn.hamming import hamming_topk
+from guidemaker_tpu.knn.sharded import make_mesh, sharded_hamming_topk
+
+
+def _onehot(rng, n, length):
+    codes = rng.integers(0, 4, size=(n, length)).astype(np.uint8)
+    return dna.one_hot_matrix(codes)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest XLA_FLAGS)")
+
+
+@pytest.mark.parametrize("q_shards,d_shards", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_matches_single_device(q_shards, d_shards):
+    rng = np.random.default_rng(q_shards * 10 + d_shards)
+    q = _onehot(rng, 96, 20)
+    db = _onehot(rng, 1000, 20)
+    mesh = make_mesh(q_shards, d_shards)
+    d_sh, i_sh = sharded_hamming_topk(q, db, 5, 20, mesh=mesh, db_tile=128)
+    d_1, i_1 = hamming_topk(q, db, 5, 20)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+
+
+def test_sharded_unaligned_sizes():
+    # db and query sizes that don't divide the mesh evenly
+    rng = np.random.default_rng(3)
+    q = _onehot(rng, 37, 17)
+    db = _onehot(rng, 531, 17)
+    mesh = make_mesh(2, 4)
+    d_sh, i_sh = sharded_hamming_topk(q, db, 4, 17, mesh=mesh, db_tile=64)
+    d_1, i_1 = hamming_topk(q, db, 4, 17)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+
+
+def test_sharded_k_exceeds_db():
+    rng = np.random.default_rng(5)
+    q = _onehot(rng, 8, 12)
+    db = _onehot(rng, 3, 12)
+    mesh = make_mesh(1, 8)
+    d_sh, i_sh = sharded_hamming_topk(q, db, 6, 12, mesh=mesh)
+    assert (d_sh[:, 3:] == -1).all()
+    d_1, i_1 = hamming_topk(q, db, 6, 12)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+
+
+def test_mesh_shape_does_not_change_results():
+    rng = np.random.default_rng(11)
+    q = _onehot(rng, 64, 20)
+    db = _onehot(rng, 512, 20)
+    results = []
+    for qs, ds in [(1, 8), (2, 4), (8, 1)]:
+        mesh = make_mesh(qs, ds)
+        results.append(sharded_hamming_topk(q, db, 3, 20, mesh=mesh))
+    for d2, i2 in results[1:]:
+        np.testing.assert_array_equal(results[0][0], d2)
+        np.testing.assert_array_equal(results[0][1], i2)
