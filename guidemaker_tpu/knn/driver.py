@@ -8,6 +8,7 @@ devices, and mesh sizes.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -17,14 +18,31 @@ from .hamming import hamming_topk
 from .leven import leven_topk
 
 
+def _default_backend() -> str:
+    """Kernel backend: 'pallas' (fused, TPU), 'xla' (portable), 'native'
+    (C++ popcount, CPU).  Selectable via GUIDEMAKER_TPU_KERNEL; defaults to
+    the fused Pallas kernel on TPU and XLA elsewhere."""
+    env = os.environ.get("GUIDEMAKER_TPU_KERNEL")
+    if env in ("pallas", "xla", "native"):
+        return env
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
 class KnnIndex:
     """An exact nearest-neighbor index over equal-length guide sequences."""
 
-    def __init__(self, seqs: Sequence[str], metric: str = "hamming"):
+    def __init__(self, seqs: Sequence[str], metric: str = "hamming",
+                 backend: str = None):
         if len(seqs) == 0:
             raise ValueError("cannot build an index over zero sequences")
         self.seqs: List[str] = list(seqs)
         self.metric = "hamming" if metric == "hamming" else "leven"
+        self.backend = backend or _default_backend()
         self.length = len(self.seqs[0])
         for s in self.seqs:
             if len(s) != self.length:
@@ -33,6 +51,8 @@ class KnnIndex:
         self._codes = codes.astype(np.uint8)
         self._onehot = (dna.one_hot_matrix(codes, dtype=np.float32)
                         if self.metric == "hamming" else None)
+        self._db_dev = None   # device-resident padded database (lazy)
+        self._db_tile = None
 
     def __len__(self) -> int:
         return len(self.seqs)
@@ -51,10 +71,27 @@ class KnnIndex:
         if len(seqs) == 0:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.int32))
         qc = self._encode_queries(seqs)
-        if self.metric == "hamming":
-            q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
-            return hamming_topk(q_oh, self._onehot, k, self.length)
-        return leven_topk(qc, self._codes, k)
+        if self.metric != "hamming":
+            return leven_topk(qc, self._codes, k)
+        if self.backend == "native":
+            from .. import native
+            if native.available():
+                return native.hamming_topk(qc, self._codes, k)
+        q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
+        nd = len(self.seqs)
+        if self.backend == "pallas":
+            from . import pallas_hamming as ph
+            if self._db_dev is None:
+                self._db_tile = min(1024, max(128, 1 << int(nd - 1).bit_length()))
+                self._db_dev = ph.prepare_db_pallas(self._onehot, self._db_tile)
+            return ph.pallas_topk_device(q_oh, self._db_dev, nd, k,
+                                         self.length, db_tile=self._db_tile)
+        from .hamming import fit_tile, hamming_topk_device, prepare_db
+        if self._db_dev is None:
+            self._db_tile = fit_tile(8192, nd)
+            self._db_dev = prepare_db(self._onehot, self._db_tile)
+        return hamming_topk_device(q_oh, self._db_dev, nd, k, self.length,
+                                   db_tile=self._db_tile)
 
     def neighbor_seqs(self, idx_row: np.ndarray) -> List[str]:
         """Map database indices to sequences (fixes the reference's

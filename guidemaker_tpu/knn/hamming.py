@@ -58,8 +58,7 @@ def _merge_topk(best: jnp.ndarray, cand_keys: jnp.ndarray, k: int) -> jnp.ndarra
     return -neg_top
 
 
-@functools.partial(jax.jit, static_argnames=("k", "length", "db_tile"))
-def _topk_tiles(q_oh, db_oh, db_n, idx_offset, *, k, length, db_tile):
+def _topk_tiles_body(q_oh, db_oh, db_n, idx_offset, *, k, length, db_tile):
     """Running top-k of packed keys for one query block over all db tiles.
 
     Args:
@@ -90,6 +89,27 @@ def _topk_tiles(q_oh, db_oh, db_n, idx_offset, *, k, length, db_tile):
     return best
 
 
+_topk_tiles = jax.jit(_topk_tiles_body,
+                      static_argnames=("k", "length", "db_tile"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "length", "db_tile", "q_tile"))
+def _topk_all(q_pad, db_oh, db_n, idx_offset, *, k, length, db_tile, q_tile):
+    """All query tiles in ONE dispatch (lax.map over query blocks).
+
+    A single device call matters twice: dispatch/transfer overhead is paid
+    once, and XLA pipelines the per-tile scans.
+    """
+    nq_pad, feat = q_pad.shape
+    tiles = q_pad.reshape(nq_pad // q_tile, q_tile, feat)
+    out = jax.lax.map(
+        lambda q: _topk_tiles_body(q, db_oh, db_n, idx_offset,
+                                   k=k, length=length, db_tile=db_tile),
+        tiles)
+    return out.reshape(nq_pad, k)
+
+
 def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     n = arr.shape[0]
     pad = (-n) % multiple
@@ -98,37 +118,32 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     return arr
 
 
-def hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray, k: int,
-                 length: int, *, db_tile: int = 8192, q_tile: int = 2048,
-                 idx_offset: int = 0):
-    """Exact k smallest Hamming distances of every query against the database.
+def fit_tile(requested: int, n: int, floor: int = 256) -> int:
+    """Shrink a tile to the next power of two covering n (min ``floor``)."""
+    return min(requested, max(floor, 1 << (int(n - 1).bit_length())))
 
-    Host-side driver: pads to tile multiples, runs the jitted tiled kernel
-    per query block, unpacks keys.
 
-    Returns:
-      (dists, idx): two (nq, k) int32 arrays, ascending by (dist, idx).
-      Entries beyond the database size are (-1, -1).
+def prepare_db(db_onehot: np.ndarray, db_tile: int):
+    """Pad + transfer the database one-hot matrix once (device-resident)."""
+    return jnp.asarray(_pad_rows(db_onehot, db_tile), dtype=jnp.bfloat16)
+
+
+def hamming_topk_device(q_onehot: np.ndarray, db_dev, nd: int, k: int,
+                        length: int, *, db_tile: int, q_tile: int = 2048,
+                        idx_offset: int = 0):
+    """Exact k-NN against an already device-resident padded database.
+
+    ONE device dispatch for all queries (lax.map over query tiles inside
+    jit) — dispatch/transfer overhead is paid once per query batch, which
+    dominates wall time on tunneled/remote TPU backends.
     """
-    nq, nd = q_onehot.shape[0], db_onehot.shape[0]
-    if nd > MAX_DB:
-        raise ValueError(f"database shard too large ({nd} > {MAX_DB}); shard it")
+    nq = q_onehot.shape[0]
     k_eff = min(k, nd)
-    db_tile = min(db_tile, max(256, 1 << (int(nd - 1).bit_length())))
-    q_tile = min(q_tile, max(256, 1 << (int(nq - 1).bit_length())))
-
-    db_dev = jnp.asarray(_pad_rows(db_onehot, db_tile), dtype=jnp.bfloat16)
-    q_pad = _pad_rows(q_onehot, q_tile)
-    db_n = jnp.int32(nd)
-    off = jnp.int32(idx_offset)
-
-    out = np.empty((q_pad.shape[0], k_eff), dtype=np.int32)
-    for i in range(0, q_pad.shape[0], q_tile):
-        q_dev = jnp.asarray(q_pad[i:i + q_tile], dtype=jnp.bfloat16)
-        keys = _topk_tiles(q_dev, db_dev, db_n, off,
-                           k=k_eff, length=length, db_tile=db_tile)
-        out[i:i + q_tile] = np.asarray(keys)
-    out = out[:nq]
+    q_tile = fit_tile(q_tile, nq)
+    q_dev = jnp.asarray(_pad_rows(q_onehot, q_tile), dtype=jnp.bfloat16)
+    keys = _topk_all(q_dev, db_dev, jnp.int32(nd), jnp.int32(idx_offset),
+                     k=k_eff, length=length, db_tile=db_tile, q_tile=q_tile)
+    out = np.asarray(keys)[:nq]
 
     dist, idx = unpack_keys(out)
     if k_eff < k:
@@ -136,3 +151,22 @@ def hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray, k: int,
         dist = np.concatenate([dist, pad], axis=1)
         idx = np.concatenate([idx, pad], axis=1)
     return dist, idx
+
+
+def hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray, k: int,
+                 length: int, *, db_tile: int = 8192, q_tile: int = 2048,
+                 idx_offset: int = 0):
+    """Exact k smallest Hamming distances of every query against the database.
+
+    Returns:
+      (dists, idx): two (nq, k) int32 arrays, ascending by (dist, idx).
+      Entries beyond the database size are (-1, -1).
+    """
+    nd = db_onehot.shape[0]
+    if nd > MAX_DB:
+        raise ValueError(f"database shard too large ({nd} > {MAX_DB}); shard it")
+    db_tile = fit_tile(db_tile, nd)
+    db_dev = prepare_db(db_onehot, db_tile)
+    return hamming_topk_device(q_onehot, db_dev, nd, k, length,
+                               db_tile=db_tile, q_tile=q_tile,
+                               idx_offset=idx_offset)

@@ -1,0 +1,63 @@
+"""Fused Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+import numpy as np
+import pytest
+
+from guidemaker_tpu import dna
+from guidemaker_tpu.knn.driver import KnnIndex, _default_backend
+from guidemaker_tpu.knn.hamming import hamming_topk
+from guidemaker_tpu.knn.pallas_hamming import pallas_hamming_topk
+
+
+def _onehot(rng, n, length):
+    return dna.one_hot_matrix(
+        rng.integers(0, 4, size=(n, length)).astype(np.uint8))
+
+
+@pytest.mark.parametrize("nq,nd,k,L", [
+    (100, 300, 3, 20), (257, 1025, 10, 27), (64, 64, 2, 12)])
+def test_pallas_matches_xla(nq, nd, k, L):
+    rng = np.random.default_rng(nq + nd)
+    q, db = _onehot(rng, nq, L), _onehot(rng, nd, L)
+    d1, i1 = hamming_topk(q, db, k, L)
+    d2, i2 = pallas_hamming_topk(q, db, k, L, db_tile=256, q_tile=64,
+                                 interpret=True)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_pallas_multi_tile_revisit():
+    # multiple q and db tiles: accumulator revisiting across the db grid dim
+    rng = np.random.default_rng(7)
+    q, db = _onehot(rng, 64, 20), _onehot(rng, 1024, 20)
+    d1, i1 = hamming_topk(q, db, 5, 20)
+    d2, i2 = pallas_hamming_topk(q, db, 5, 20, db_tile=128, q_tile=16,
+                                 interpret=True)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_pallas_k_exceeds_db():
+    rng = np.random.default_rng(1)
+    q, db = _onehot(rng, 8, 20), _onehot(rng, 3, 20)
+    d, i = pallas_hamming_topk(q, db, 6, 20, interpret=True)
+    assert (d[:, 3:] == -1).all() and (i[:, 3:] == -1).all()
+
+
+def test_backend_selection_env(monkeypatch):
+    monkeypatch.setenv("GUIDEMAKER_TPU_KERNEL", "native")
+    assert _default_backend() == "native"
+    monkeypatch.setenv("GUIDEMAKER_TPU_KERNEL", "xla")
+    assert _default_backend() == "xla"
+    monkeypatch.delenv("GUIDEMAKER_TPU_KERNEL")
+    assert _default_backend() in ("pallas", "xla")
+
+
+def test_index_backends_agree():
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), size=20)) for _ in range(300)]
+    res = {}
+    for backend in ("xla", "native"):
+        idx = KnnIndex(seqs, backend=backend)
+        res[backend] = idx.query(seqs[:50], 4)
+    np.testing.assert_array_equal(res["xla"][0], res["native"][0])
+    np.testing.assert_array_equal(res["xla"][1], res["native"][1])
