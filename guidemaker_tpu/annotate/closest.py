@@ -76,11 +76,11 @@ def closest_join(guides: pd.DataFrame, features: pd.DataFrame,
     g_name = guides["name"].to_numpy()
     g_strand = guides["strand"].to_numpy()
 
-    f_acc: List[str] = ["."] * n
+    f_acc = np.full(n, ".", dtype=object)
     f_start = np.full(n, -1, dtype=np.int64)
     f_end = np.full(n, -1, dtype=np.int64)
-    f_id: List[str] = ["."] * n
-    f_strand: List[str] = ["."] * n
+    f_id = np.full(n, ".", dtype=object)
+    f_strand = np.full(n, ".", dtype=object)
     f_dist = np.full(n, -1, dtype=np.int64)
 
     for chrom in pd.unique(pd.Series(g_chrom)):
@@ -124,15 +124,14 @@ def closest_join(guides: pd.DataFrame, features: pd.DataFrame,
             chosen_has = has_ov | has_side
             chosen_dist = np.where(has_ov, 0, -dist_side)
 
-        for gi, jj, hh, dd in zip(sel, chosen_j, chosen_has, chosen_dist):
-            if not hh:
-                continue
-            f_acc[gi] = str(chrom)
-            f_start[gi] = fs[jj]
-            f_end[gi] = fe[jj]
-            f_id[gi] = fc["names"][jj]
-            f_strand[gi] = fc["strands"][jj]
-            f_dist[gi] = dd
+        hit = sel[chosen_has]
+        jj = chosen_j[chosen_has]
+        f_acc[hit] = str(chrom)
+        f_start[hit] = fs[jj]
+        f_end[hit] = fe[jj]
+        f_id[hit] = fc["names"][jj]
+        f_strand[hit] = fc["strands"][jj]
+        f_dist[hit] = chosen_dist[chosen_has]
 
     return pd.DataFrame({
         0: g_chrom, 1: g_start, 2: g_end, 3: g_name, 4: g_strand,

@@ -88,6 +88,8 @@ def myparser() -> argparse.ArgumentParser:
                              + str(guidemaker_tpu.CONFIG_PATH))
     parser.add_argument('--cpu', action='store_true',
                         help='Force the JAX CPU backend (skip TPU).')
+    parser.add_argument('--profile', default=None, metavar='DIR',
+                        help='Write a JAX profiler trace of the k-NN stage to DIR.')
     parser.add_argument('-V', '--version', action='version',
                         version="%(prog)s (" + guidemaker_tpu.__version__ + ")")
     return parser
@@ -132,7 +134,7 @@ def main(arglist: list = None) -> None:
         doench_efficiency_score=args.doench_efficiency_score,
         cfd_score=args.cfd_score, raw_output_only=args.raw_output_only,
         plot=args.plot, keeptemp=args.keeptemp, tempdir=args.tempdir,
-        outdir=args.outdir, config=args.config)
+        outdir=args.outdir, config=args.config, profile=args.profile)
     try:
         cfg.validate()
     except AssertionError as err:

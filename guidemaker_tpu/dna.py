@@ -82,6 +82,14 @@ def encode_bytes(buf: bytes) -> np.ndarray:
     return BYTE_TO_CODE[np.frombuffer(buf, dtype=np.uint8)]
 
 
+def encode_batch(seqs, length: int) -> np.ndarray:
+    """Encode a list of equal-length strings into an (n, length) code matrix
+    with one bulk conversion (no per-string Python loop)."""
+    blob = "".join(seqs).encode("ascii")
+    codes = BYTE_TO_CODE[np.frombuffer(blob, dtype=np.uint8)]
+    return codes.reshape(-1, length)
+
+
 def decode(codes: np.ndarray) -> str:
     """Decode a uint8 code array back into a DNA string."""
     return CODE_TO_BYTE[codes].tobytes().decode("ascii")

@@ -47,18 +47,25 @@ class KnnIndex:
         for s in self.seqs:
             if len(s) != self.length:
                 raise ValueError("all indexed sequences must share one length")
-        codes = np.stack([dna.encode(s) for s in self.seqs])
+        codes = dna.encode_batch(self.seqs, self.length)
         self._codes = codes.astype(np.uint8)
-        self._onehot = (dna.one_hot_matrix(codes, dtype=np.float32)
-                        if self.metric == "hamming" else None)
         self._db_dev = None   # device-resident padded database (lazy)
         self._db_tile = None
+
+    @property
+    def _onehot(self) -> np.ndarray:
+        # host one-hot is only needed by the xla backend; built lazily
+        # (the pallas path one-hot-encodes the uint8 codes on device)
+        if getattr(self, "_onehot_cache", None) is None:
+            self._onehot_cache = dna.one_hot_matrix(self._codes,
+                                                    dtype=np.float32)
+        return self._onehot_cache
 
     def __len__(self) -> int:
         return len(self.seqs)
 
     def _encode_queries(self, seqs: Sequence[str]) -> np.ndarray:
-        return np.stack([dna.encode(s) for s in seqs]).astype(np.uint8)
+        return dna.encode_batch(seqs, self.length)
 
     def query(self, seqs: Sequence[str], k: int) -> Tuple[np.ndarray, np.ndarray]:
         """k nearest database entries for each query sequence.
@@ -77,15 +84,16 @@ class KnnIndex:
             from .. import native
             if native.available():
                 return native.hamming_topk(qc, self._codes, k)
-        q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
         nd = len(self.seqs)
         if self.backend == "pallas":
             from . import pallas_hamming as ph
             if self._db_dev is None:
                 self._db_tile = min(1024, max(128, 1 << int(nd - 1).bit_length()))
-                self._db_dev = ph.prepare_db_pallas(self._onehot, self._db_tile)
-            return ph.pallas_topk_device(q_oh, self._db_dev, nd, k,
-                                         self.length, db_tile=self._db_tile)
+                self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            return ph.pallas_topk_device(None, self._db_dev, nd, k,
+                                         self.length, db_tile=self._db_tile,
+                                         q_codes=qc)
+        q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
         from .hamming import fit_tile, hamming_topk_device, prepare_db
         if self._db_dev is None:
             self._db_tile = fit_tile(8192, nd)
@@ -97,6 +105,24 @@ class KnnIndex:
         """Map database indices to sequences (fixes the reference's
         set-ordering index bug, core.py:446 vs core.py:513)."""
         return [self.seqs[int(i)] for i in idx_row if int(i) >= 0]
+
+    # ------------------------------------------------------------------
+    # persistence (the reference never saves its NMSLib index; exact
+    # indexes round-trip trivially as the packed code matrix)
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Save the index to an .npz file (codes + metric + backend)."""
+        np.savez_compressed(path, codes=self._codes,
+                            metric=np.str_(self.metric),
+                            backend=np.str_(self.backend))
+
+    @classmethod
+    def load(cls, path: str, backend: str = None) -> "KnnIndex":
+        z = np.load(path)
+        codes = z["codes"]
+        seqs = dna.decode_rows(codes)
+        return cls(seqs, metric=str(z["metric"]),
+                   backend=backend or str(z["backend"]))
 
 
 def knn_search(db_seqs: Sequence[str], q_seqs: Sequence[str], k: int,

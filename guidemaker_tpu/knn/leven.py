@@ -70,6 +70,21 @@ def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile):
     return best
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "length", "db_tile", "q_tile"))
+def _topk_all_leven(q_pad, db_codes, db_n, idx_offset, *, k, length,
+                    db_tile, q_tile):
+    """All query tiles in one dispatch (see hamming._topk_all)."""
+    nq_pad = q_pad.shape[0]
+    tiles = q_pad.reshape(nq_pad // q_tile, q_tile, length)
+    out = jax.lax.map(
+        lambda q: _topk_tiles_leven.__wrapped__(
+            q, db_codes, db_n, idx_offset,
+            k=k, length=length, db_tile=db_tile),
+        tiles)
+    return out.reshape(nq_pad, k)
+
+
 def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
                db_tile: int = 1024, q_tile: int = 512, idx_offset: int = 0):
     """Exact k smallest Levenshtein distances per query (see hamming_topk)."""
@@ -81,13 +96,10 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
 
     db_dev = jnp.asarray(_pad_rows(db_codes, db_tile))
     q_pad = _pad_rows(q_codes, q_tile)
-    out = np.empty((q_pad.shape[0], k_eff), dtype=np.int32)
-    for i in range(0, q_pad.shape[0], q_tile):
-        keys = _topk_tiles_leven(jnp.asarray(q_pad[i:i + q_tile]), db_dev,
-                                 jnp.int32(nd), jnp.int32(idx_offset),
-                                 k=k_eff, length=length, db_tile=db_tile)
-        out[i:i + q_tile] = np.asarray(keys)
-    out = out[:nq]
+    keys = _topk_all_leven(jnp.asarray(q_pad), db_dev, jnp.int32(nd),
+                           jnp.int32(idx_offset), k=k_eff, length=length,
+                           db_tile=db_tile, q_tile=q_tile)
+    out = np.asarray(keys)[:nq]
 
     dist, idx = unpack_keys(out)
     if k_eff < k:

@@ -115,17 +115,54 @@ def _pad_feat(onehot: np.ndarray) -> np.ndarray:
     return onehot
 
 
+@jax.jit
+def _onehot_on_device(codes) -> jnp.ndarray:
+    """(n, L) uint8 codes -> (n, ceil(4L/128)*128) bf16 one-hot, on device.
+
+    Transfers 2-bit codes instead of the 16x larger one-hot matrix —
+    host->device traffic is the scaling bottleneck for million-guide
+    genomes.  Out-of-range codes (INVALID=4, also used for row padding)
+    one-hot to all-zero, preserving the "padding never matches" invariant.
+    """
+    n, length = codes.shape
+    oh = jax.nn.one_hot(codes, 4, dtype=jnp.bfloat16).reshape(n, 4 * length)
+    feat_pad = -(4 * length) % LANES
+    if feat_pad:
+        oh = jnp.pad(oh, ((0, 0), (0, feat_pad)))
+    return oh
+
+
+def _pad_code_rows(codes: np.ndarray, multiple: int) -> np.ndarray:
+    pad = (-codes.shape[0]) % multiple
+    if pad:
+        codes = np.concatenate(
+            [codes, np.full((pad, codes.shape[1]), 4, dtype=np.uint8)])
+    return codes
+
+
 def prepare_db_pallas(db_onehot: np.ndarray, db_tile: int):
     """Pad (rows + feature lanes) and transfer the database once."""
     return jnp.asarray(_pad_rows(_pad_feat(db_onehot), db_tile),
                        dtype=jnp.bfloat16)
 
 
+def prepare_db_codes(db_codes: np.ndarray, db_tile: int):
+    """Like prepare_db_pallas but from uint8 codes (16x less transfer)."""
+    return _onehot_on_device(
+        jnp.asarray(_pad_code_rows(db_codes, db_tile)))
+
+
 def pallas_topk_device(q_onehot: np.ndarray, db_dev, nd: int, k: int,
                        length: int, *, db_tile: int, q_tile: int = 512,
-                       interpret: bool = False):
-    """Fused-kernel k-NN against a device-resident padded database."""
-    nq = q_onehot.shape[0]
+                       interpret: bool = False, q_codes: np.ndarray = None):
+    """Fused-kernel k-NN against a device-resident padded database.
+
+    Queries may be given as a one-hot matrix (``q_onehot``) or, cheaper,
+    as uint8 codes (``q_codes``) one-hot-encoded on device.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # pallas TPU kernels run interpreted elsewhere
+    nq = (q_codes if q_onehot is None else q_onehot).shape[0]
     k_eff = min(k, nd, LANES)
     q_tile = min(q_tile, max(8, 1 << int(nq - 1).bit_length()))
     q_tile, clamped_db = clamp_tiles(q_tile, db_tile)
@@ -133,11 +170,17 @@ def pallas_topk_device(q_onehot: np.ndarray, db_dev, nd: int, k: int,
         raise ValueError(
             f"db_tile {db_tile} with q_tile {q_tile} exceeds scoped VMEM; "
             f"prepare the database with db_tile <= {clamped_db}")
-    q_dev = jnp.asarray(_pad_rows(_pad_feat(q_onehot), q_tile),
-                        dtype=jnp.bfloat16)
-    out = np.asarray(_pallas_topk(
+    if q_onehot is None:
+        q_dev = _onehot_on_device(
+            jnp.asarray(_pad_code_rows(q_codes, q_tile)))
+    else:
+        q_dev = jnp.asarray(_pad_rows(_pad_feat(q_onehot), q_tile),
+                            dtype=jnp.bfloat16)
+    keys = _pallas_topk(
         q_dev, db_dev, k=k_eff, length=length, q_tile=q_tile,
-        db_tile=db_tile, interpret=interpret))[:nq, :k_eff]
+        db_tile=db_tile, interpret=interpret)
+    # slice on device: only (nq, k) ints cross the host link
+    out = np.asarray(keys[:nq, :k_eff])
 
     dist, idx = unpack_keys(out)
     # entries pointing at padding rows are invalid (k > true db size)

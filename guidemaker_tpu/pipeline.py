@@ -18,6 +18,7 @@ from typing import List, Optional
 import pandas as pd
 
 from . import definitions
+from .util import maybe_profile, stage_timer
 from .annotate import Annotation
 from .io import get_fastas, parse_fasta
 from .scan import PamTarget
@@ -53,6 +54,7 @@ class PipelineConfig:
     raw_output_only: bool = False
     plot: bool = False
     keeptemp: bool = False
+    profile: Optional[str] = None   # JAX profiler trace directory
     tempdir: Optional[str] = None
     outdir: str = "."
     config: str = definitions.CONFIG_PATH
@@ -109,9 +111,10 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
 
         logger.info("Identifying PAM sites in the genome")
         pamobj = PamTarget(cfg.pamseq, cfg.pam_orientation, cfg.dtype)
-        pamtargets = pamobj.find_targets(
-            seq_record_iter=parse_fasta(fastapath),
-            target_len=cfg.guidelength)
+        with stage_timer("pam scan"):
+            pamtargets = pamobj.find_targets(
+                seq_record_iter=parse_fasta(fastapath),
+                target_len=cfg.guidelength)
         tl = TargetProcessor(targets=pamtargets, lsr=cfg.lsr,
                              editdist=cfg.dist, knum=cfg.knum)
         result.processor = tl
@@ -127,10 +130,12 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
                     int(tl.targets.isseedduplicated.sum()))
 
         logger.info("Indexing all potential guide sites (exact k-NN)")
-        tl.create_index(configpath=cfg.config, num_threads=cfg.threads)
+        with stage_timer("index build"):
+            tl.create_index(configpath=cfg.config, num_threads=cfg.threads)
         logger.info("Finding guides with distance > %s to all other guides",
                     cfg.dist)
-        tl.get_neighbors(configpath=cfg.config, num_threads=cfg.threads)
+        with maybe_profile(cfg.profile), stage_timer("exact k-NN"):
+            tl.get_neighbors(configpath=cfg.config, num_threads=cfg.threads)
         tf_df = tl.export_bed()
         result.raw_bed = tf_df
 
@@ -151,17 +156,19 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
             anno = Annotation(annotation_list=cfg.gff,
                               annotation_type="gff", target_bed_df=tf_df)
         result.annotation = anno
-        anno.get_annotation_features(feature_types=cfg.feature_types)
-        logger.info("Total number of %s in the input genome: %d",
-                    *anno.locuslen())
-        anno._get_nearby_features()
-        anno._filter_features(before_feat=cfg.before, after_feat=cfg.into)
-        anno._get_qualifiers(configpath=cfg.config)
-        anno._format_guide_table(tl)
+        with stage_timer("annotation"):
+            anno.get_annotation_features(feature_types=cfg.feature_types)
+            logger.info("Total number of %s in the input genome: %d",
+                        *anno.locuslen())
+            anno._get_nearby_features()
+            anno._filter_features(before_feat=cfg.before, after_feat=cfg.into)
+            anno._get_qualifiers(configpath=cfg.config)
+            anno._format_guide_table(tl)
         prettydf = anno._filterlocus(cfg.attribute_key, cfg.filter_by_attribute)
 
         if cfg.doench_efficiency_score:
             logger.info("Scoring on-target efficiency (Doench et al. 2016)")
+            # (vectorized; stage-timed)
             prettydf = get_doench_efficiency_score(
                 df=prettydf, pam_orientation=cfg.pam_orientation,
                 num_threads=cfg.threads)

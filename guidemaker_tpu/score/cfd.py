@@ -122,21 +122,33 @@ def cfd_score(df):
     'Similar guides' strings were scrambled by a set-ordering bug —
     core.py:446 vs core.py:513 — so the issue was latent there.)
     """
-    mm_scores, _ = get_mm_pam_scores()
+    # flatten every (guide, similar-guide) pair and score in one vectorized
+    # pass (the reference loops pure Python per pair, core.py:1130-1137)
+    guides = df["Guide sequence"].tolist()
+    sim_lists = [s.split(";") for s in df["Similar guides"].tolist()]
+    wt_rows, off_rows, row_of_pair = [], [], []
+    for r, (g, sims) in enumerate(zip(guides, sim_lists)):
+        for s in sims:
+            wt_rows.append(g)
+            off_rows.append(s)
+            row_of_pair.append(r)
+    if wt_rows:
+        wt_codes = np.stack([dna.encode(s) for s in wt_rows])
+        off_codes = np.stack([dna.encode(s) for s in off_rows])
+        scores = cfd_batch(wt_codes, off_codes)
+    else:
+        scores = np.empty(0)
 
-    def cfd_calculator(knnstrlist, guide):
-        return [str(calc_cfd(guide, item, mm_scores=mm_scores))
-                for item in knnstrlist.split(";")]
+    per_row_scores: list = [[] for _ in range(len(df))]
+    for r, s in zip(row_of_pair, scores):
+        per_row_scores[r].append(float(s))
 
-    def max_cfd(row):
-        seqs = row["Similar guides"].split(";")
-        scores = [float(x) for x in row["CFD Similar Guides"]]
-        offtarget = [s for seq, s in zip(seqs, scores)
-                     if seq != row["Guide sequence"]]
-        return max(offtarget) if offtarget else max(scores)
+    max_cfds = []
+    for g, sims, vals in zip(guides, sim_lists, per_row_scores):
+        offtarget = [v for s, v in zip(sims, vals) if s != g]
+        max_cfds.append(max(offtarget) if offtarget else max(vals))
 
-    df["CFD Similar Guides"] = df.apply(
-        lambda x: cfd_calculator(x["Similar guides"], x["Guide sequence"]),
-        axis=1)
-    df["Max CFD"] = df.apply(max_cfd, axis=1)
+    df["CFD Similar Guides"] = [[str(v) for v in vals]
+                                for vals in per_row_scores]
+    df["Max CFD"] = max_cfds
     return df

@@ -145,3 +145,17 @@ def test_leven_tiled_path():
     odists, oidx = _topk_oracle(dm, 3)
     np.testing.assert_array_equal(dists, odists)
     np.testing.assert_array_equal(idx, oidx)
+
+
+def test_index_save_load(tmp_path):
+    rng = np.random.default_rng(17)
+    db = _random_seqs(rng, 64, 20)
+    idx = KnnIndex(db, metric="hamming")
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    idx2 = KnnIndex.load(path)
+    assert idx2.seqs == db and idx2.metric == "hamming"
+    d1, i1 = idx.query(db[:5], 3)
+    d2, i2 = idx2.query(db[:5], 3)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
