@@ -23,13 +23,16 @@ def _default_backend() -> str:
     (C++ popcount, CPU).  Selectable via GUIDEMAKER_TPU_KERNEL; defaults to
     the fused Pallas kernel on TPU and XLA elsewhere."""
     env = os.environ.get("GUIDEMAKER_TPU_KERNEL")
-    if env in ("pallas", "xla", "native"):
+    if env in ("pallas", "xla", "native", "sharded"):
         return env
     import jax
     try:
-        platform = jax.devices()[0].platform
+        devices = jax.devices()
+        platform = devices[0].platform
     except RuntimeError:
-        platform = "cpu"
+        devices, platform = [None], "cpu"
+    if len(devices) > 1:
+        return "sharded"  # multi-chip: 2-D mesh + all_gather top-k merge
     return "pallas" if platform == "tpu" else "xla"
 
 
@@ -85,6 +88,14 @@ class KnnIndex:
             if native.available():
                 return native.hamming_topk(qc, self._codes, k)
         nd = len(self.seqs)
+        if self.backend == "sharded":
+            from ..distributed import auto_mesh
+            from .sharded import sharded_hamming_topk
+            q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
+            if self._db_dev is None:  # cache the mesh, not device arrays
+                self._db_dev = auto_mesh()
+            return sharded_hamming_topk(q_oh, self._onehot, k, self.length,
+                                        mesh=self._db_dev)
         if self.backend == "pallas":
             from . import pallas_hamming as ph
             if self._db_dev is None:

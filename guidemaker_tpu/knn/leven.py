@@ -34,21 +34,20 @@ def leven_block(qc: jnp.ndarray, dc: jnp.ndarray, *, length: int) -> jnp.ndarray
     """
     tq, td = qc.shape[0], dc.shape[0]
     jcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, length + 1), 2)
-    d0 = jnp.broadcast_to(jcol, (tq, td, length + 1)).astype(jnp.int32)
+    d_prev = jnp.broadcast_to(jcol, (tq, td, length + 1)).astype(jnp.int32)
 
-    def row(d_prev, i):
-        qchar = jax.lax.dynamic_slice_in_dim(qc, i, 1, axis=1)  # (tq, 1)
+    # rows unrolled (length <= 27 is static): flat straight-line HLO
+    # compiles far faster than a nested lax.scan on tunneled TPU backends
+    for i in range(length):
+        qchar = qc[:, i:i + 1]                                  # (tq, 1)
         cost = (qchar[:, None, :] != dc[None, :, :]).astype(jnp.int32)
         sub = d_prev[..., :-1] + cost
         dele = d_prev[..., 1:] + 1
         e_tail = jnp.minimum(sub, dele)
         e_head = jnp.full((tq, td, 1), i + 1, dtype=jnp.int32)
         e = jnp.concatenate([e_head, e_tail], axis=-1)
-        d_row = jax.lax.cummin(e - jcol, axis=2) + jcol
-        return d_row, None
-
-    d_last, _ = jax.lax.scan(row, d0, jnp.arange(length, dtype=jnp.int32))
-    return d_last[..., -1]
+        d_prev = jax.lax.cummin(e - jcol, axis=2) + jcol
+    return d_prev[..., -1]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "length", "db_tile"))
@@ -70,24 +69,13 @@ def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile):
     return best
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "length", "db_tile", "q_tile"))
-def _topk_all_leven(q_pad, db_codes, db_n, idx_offset, *, k, length,
-                    db_tile, q_tile):
-    """All query tiles in one dispatch (see hamming._topk_all)."""
-    nq_pad = q_pad.shape[0]
-    tiles = q_pad.reshape(nq_pad // q_tile, q_tile, length)
-    out = jax.lax.map(
-        lambda q: _topk_tiles_leven.__wrapped__(
-            q, db_codes, db_n, idx_offset,
-            k=k, length=length, db_tile=db_tile),
-        tiles)
-    return out.reshape(nq_pad, k)
-
-
 def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
                db_tile: int = 1024, q_tile: int = 512, idx_offset: int = 0):
-    """Exact k smallest Levenshtein distances per query (see hamming_topk)."""
+    """Exact k smallest Levenshtein distances per query (see hamming_topk).
+
+    Queries run in host-side blocks (the Levenshtein path trades a few
+    dispatches for a much lighter compile than a fully-nested scan).
+    """
     nq, nd = q_codes.shape[0], db_codes.shape[0]
     length = q_codes.shape[1]
     k_eff = min(k, nd)
@@ -96,10 +84,13 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
 
     db_dev = jnp.asarray(_pad_rows(db_codes, db_tile))
     q_pad = _pad_rows(q_codes, q_tile)
-    keys = _topk_all_leven(jnp.asarray(q_pad), db_dev, jnp.int32(nd),
-                           jnp.int32(idx_offset), k=k_eff, length=length,
-                           db_tile=db_tile, q_tile=q_tile)
-    out = np.asarray(keys)[:nq]
+    out = np.empty((q_pad.shape[0], k_eff), dtype=np.int32)
+    for i in range(0, q_pad.shape[0], q_tile):
+        keys = _topk_tiles_leven(jnp.asarray(q_pad[i:i + q_tile]), db_dev,
+                                 jnp.int32(nd), jnp.int32(idx_offset),
+                                 k=k_eff, length=length, db_tile=db_tile)
+        out[i:i + q_tile] = np.asarray(keys)
+    out = out[:nq]
 
     dist, idx = unpack_keys(out)
     if k_eff < k:
