@@ -16,7 +16,6 @@ so users can switch with minimal changes:
 * :func:`cfd_score`, :func:`get_doench_efficiency_score`
 * :mod:`guidemaker_tpu.cli` — command line with the reference's flags
 """
-import os
 
 from .definitions import ROOT_DIR, CONFIG_PATH, WEB_APP, APP_PARAMETER_IMG, APP_EXPERIMENT_FILE
 from .dna import extend_ambiguous_dna, reverse_complement
@@ -27,6 +26,7 @@ from .annotate import Annotation
 from .score import cfd_score, get_doench_efficiency_score
 from . import doench_predict
 from . import cfd_score_calculator
+from . import doench_featurization
 
 __version__ = "0.1.0"
 
@@ -34,7 +34,7 @@ __all__ = [
     "PamTarget", "TargetProcessor", "Annotation",
     "get_fastas", "is_gzip", "extend_ambiguous_dna", "reverse_complement",
     "cfd_score", "get_doench_efficiency_score",
-    "doench_predict", "cfd_score_calculator",
+    "doench_predict", "cfd_score_calculator", "doench_featurization",
     "ROOT_DIR", "CONFIG_PATH", "WEB_APP",
 ]
 

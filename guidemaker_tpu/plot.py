@@ -9,7 +9,6 @@ PAM.  Density estimation happens client-side in Vega (same as Altair's
 from __future__ import annotations
 
 import json
-import math
 import os
 
 import pandas as pd

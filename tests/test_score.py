@@ -126,3 +126,15 @@ def test_get_doench_efficiency_score_gate():
     out = doench_mod.get_doench_efficiency_score(df, "3prime")
     assert (out["Efficiency"] == "Not Available").all()
     assert "target_seq30" not in out.columns
+
+
+def test_featurize_data_shim_blocks():
+    # reference-module API (doench_featurization.py:36-83): dict of blocks
+    import pandas as pd
+    from guidemaker_tpu.doench_featurization import featurize_data
+    d = pd.DataFrame({"30mer": ["GTACAAAGCACGTTATTAGATGGTGGGAAC"]})
+    fs = featurize_data(d, {})
+    assert [v.shape[1] for v in fs.values()] == [120, 4, 464, 16, 1, 1, 1, 16, 4]
+    flat = np.hstack([v.to_numpy() for v in fs.values()])
+    np.testing.assert_array_equal(
+        flat, featurize(["GTACAAAGCACGTTATTAGATGGTGGGAAC"]))
