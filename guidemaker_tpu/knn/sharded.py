@@ -54,7 +54,10 @@ def _local_topk_keys(q_oh, db_shard, db_valid, offset, *, k, length, db_tile):
     tq = q_oh.shape[0]
     init = jnp.full((tq, k), INF_KEY, dtype=jnp.int32)
     # mark the carry as varying over the mesh axes (shard_map VMA typing)
-    init = jax.lax.pvary(init, ("q", "d"))
+    try:
+        init = jax.lax.pcast(init, ("q", "d"), to="varying")
+    except (AttributeError, TypeError):  # older jax spells it pvary
+        init = jax.lax.pvary(init, ("q", "d"))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, db_tile), 1)
 
     def body(best, t):
