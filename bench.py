@@ -56,20 +56,20 @@ def load_targets(path, pam="NGG", orientation="5prime", length=20):
     return onehot, len(uniq), genome_bp
 
 
-CHAIN_REPS = 32
+REPS_LO, REPS_HI = 8, 64
 
 
-def bench_knn(onehot, k, length, *, db_tile=1024, q_tile=512, repeats=5):
-    """Time the fused Pallas engine, device-resident and amortized.
+def bench_knn(onehot, k, length, *, db_tile=1024, q_tile=512, repeats=3):
+    """Time the fused Pallas engine: true per-run device time.
 
-    The primary number is the per-run device time over CHAIN_REPS
-    dependency-chained kernel executions inside ONE jit — i.e. true device
-    throughput, the way a production pipeline issues query waves
-    back-to-back.  Per-call sync latency can't be separated from this dev
-    environment's network tunnel to the TPU (tens of ms RTT), so the
-    single-dispatch wall time is reported separately on stderr.  The
-    reference's 0.090 s baseline likewise measured pure in-memory query
-    compute on a local machine.
+    Runs R dependency-chained kernel executions inside ONE jit at two
+    values of R and takes the slope (t_hi - t_lo) / (R_hi - R_lo) — this
+    separates per-run device compute from the fixed per-call sync cost,
+    which on this dev environment is a ~24 ms network-tunnel RTT to the
+    TPU (measured: reps=4 -> 25.5 ms, reps=64 -> 41.8 ms, i.e. 0.27 ms/run
+    + 24 ms RTT).  The reference's 0.090 s baseline measured pure
+    in-memory query compute on a local machine, so the slope is the
+    comparable number.  Single-dispatch wall time is logged on stderr.
     """
     import functools
     import jax
@@ -110,13 +110,22 @@ def bench_knn(onehot, k, length, *, db_tile=1024, q_tile=512, repeats=5):
         init = jnp.full((q.shape[0], ph.LANES), INF_KEY, dtype=jnp.int32)
         return jax.lax.fori_loop(0, reps, body, init)
 
-    chained(q_dev, db_dev, reps=CHAIN_REPS).block_until_ready()  # compile
-    times = []
-    for _ in range(repeats):
-        t0 = time.time()
-        chained(q_dev, db_dev, reps=CHAIN_REPS).block_until_ready()
-        times.append((time.time() - t0) / CHAIN_REPS)
-    return float(np.median(times)), compile_s
+    def timed(reps):
+        # host materialization of a tiny slice forces true completion
+        # (block_until_ready alone returns early on this backend)
+        np.asarray(chained(q_dev, db_dev, reps=reps)[0, :k])  # compile/warm
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            np.asarray(chained(q_dev, db_dev, reps=reps)[0, :k])
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t_lo, t_hi = timed(REPS_LO), timed(REPS_HI)
+    per_run = max((t_hi - t_lo) / (REPS_HI - REPS_LO), 1e-9)
+    sync = max(t_lo - REPS_LO * per_run, 0.0)
+    log(f"    per-call sync overhead (tunnel RTT): {sync*1e3:.1f} ms")
+    return float(per_run), compile_s
 
 
 def main():

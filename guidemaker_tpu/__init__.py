@@ -24,6 +24,7 @@ from .scan import PamTarget
 from .targets import TargetProcessor
 from .annotate import Annotation
 from .score import cfd_score, get_doench_efficiency_score
+from .plot import GuideMakerPlot
 from . import doench_predict
 from . import cfd_score_calculator
 from . import doench_featurization
@@ -33,7 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "PamTarget", "TargetProcessor", "Annotation",
     "get_fastas", "is_gzip", "extend_ambiguous_dna", "reverse_complement",
-    "cfd_score", "get_doench_efficiency_score",
+    "cfd_score", "get_doench_efficiency_score", "GuideMakerPlot",
     "doench_predict", "cfd_score_calculator", "doench_featurization",
     "ROOT_DIR", "CONFIG_PATH", "WEB_APP",
 ]

@@ -111,3 +111,20 @@ def test_pipeline_gff_path(genome_fasta, tmp_path):
     result = run_pipeline(cfg)
     assert result.targets is not None
     assert set(result.targets["ID"].dropna()) <= {"gene1", "gene2"}
+
+
+def test_stage_timer_logs(caplog):
+    import logging
+    from guidemaker_tpu.util import stage_timer
+    with caplog.at_level(logging.INFO, logger="guidemaker_tpu.timing"):
+        with stage_timer("unit-test-stage"):
+            pass
+    assert any("unit-test-stage" in r.message for r in caplog.records)
+
+
+def test_cli_version(capsys):
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert "guidemaker-tpu" in capsys.readouterr().out
