@@ -128,3 +128,29 @@ def test_cli_version(capsys):
         main(["--version"])
     assert e.value.code == 0
     assert "guidemaker-tpu" in capsys.readouterr().out
+
+
+def test_multi_contig_genome(tmp_path):
+    # two contigs: scan, join, and output must keep contigs separate
+    from guidemaker_tpu.io import parse_fasta, write_fasta
+    from guidemaker_tpu.io.records import SeqRecord
+    rec = next(parse_fasta(os.path.join(
+        os.path.dirname(__file__), "test_data", "Carsonella_ruddii.fasta.gz")))
+    fa = tmp_path / "two.fasta"
+    with open(fa, "w") as f:
+        write_fasta([SeqRecord("ctgA", rec.seq[:15000]),
+                     SeqRecord("ctgB", rec.seq[15000:30000])], f)
+    gff = tmp_path / "two.gff"
+    gff.write_text(
+        "##gff-version 3\n"
+        "ctgA\tt\tCDS\t100\t1400\t.\t+\t0\tID=a1\n"
+        "ctgB\tt\tCDS\t200\t1800\t.\t-\t0\tID=b1\n")
+    cfg = PipelineConfig(fasta=[str(fa)], gff=[str(gff)], pamseq="NGG",
+                         pam_orientation="5prime", knum=2, controls=0,
+                         attribute_key="ID", outdir=str(tmp_path))
+    result = run_pipeline(cfg, write_outputs=False)
+    df = result.targets
+    accs = set(df["Accession"])
+    assert accs == {"ctgA", "ctgB"}
+    # guides on ctgB must join only to ctgB features
+    assert (df[df["Accession"] == "ctgB"]["ID"].dropna() == "b1").all()
