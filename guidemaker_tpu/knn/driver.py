@@ -18,6 +18,10 @@ from .hamming import hamming_topk
 from .leven import leven_topk
 
 
+#: databases at/above this size use the streaming (in-kernel DMA) kernel
+STREAM_THRESHOLD = 65536
+
+
 def _default_backend() -> str:
     """Kernel backend: 'pallas' (fused, TPU), 'xla' (portable), 'native'
     (C++ popcount, CPU).  Selectable via GUIDEMAKER_TPU_KERNEL; defaults to
@@ -101,6 +105,13 @@ class KnnIndex:
             if self._db_dev is None:
                 self._db_tile = min(1024, max(128, 1 << int(nd - 1).bit_length()))
                 self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            if nd >= STREAM_THRESHOLD:
+                # large databases: stream db tiles inside the kernel
+                # (per-grid-step overhead would dominate the 2-D grid)
+                from .pallas_stream import stream_topk_device
+                return stream_topk_device(qc, self._db_dev, nd, k,
+                                          self.length,
+                                          db_tile=self._db_tile)
             return ph.pallas_topk_device(None, self._db_dev, nd, k,
                                          self.length, db_tile=self._db_tile,
                                          q_codes=qc)

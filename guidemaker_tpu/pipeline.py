@@ -169,12 +169,14 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         if cfg.doench_efficiency_score:
             logger.info("Scoring on-target efficiency (Doench et al. 2016)")
             # (vectorized; stage-timed)
-            prettydf = get_doench_efficiency_score(
-                df=prettydf, pam_orientation=cfg.pam_orientation,
-                num_threads=cfg.threads)
+            with stage_timer("doench scoring"):
+                prettydf = get_doench_efficiency_score(
+                    df=prettydf, pam_orientation=cfg.pam_orientation,
+                    num_threads=cfg.threads)
         if cfg.cfd_score:
             logger.info("Scoring off-target activity (CFD)")
-            prettydf = cfd_score(df=prettydf)
+            with stage_timer("cfd scoring"):
+                prettydf = cfd_score(df=prettydf)
 
         fd_zero = prettydf["Feature distance"].isin([0]).sum()
         logger.info("Guides within a gene (zero feature distance): %d", fd_zero)
@@ -187,10 +189,11 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
 
         if cfg.controls > 0:
             logger.info("Creating random control guides")
-            cmin, cmed, randomdf = tl.get_control_seqs(
-                parse_fasta(fastapath), configpath=cfg.config,
-                length=cfg.guidelength, n=cfg.controls,
-                num_threads=cfg.threads)
+            with stage_timer("controls"):
+                cmin, cmed, randomdf = tl.get_control_seqs(
+                    parse_fasta(fastapath), configpath=cfg.config,
+                    length=cfg.guidelength, n=cfg.controls,
+                    num_threads=cfg.threads)
             result.controls = randomdf
             result.control_min_dist = cmin
             result.control_median_dist = cmed

@@ -62,3 +62,28 @@ def test_index_backends_agree():
         res[backend] = idx.query(seqs[:50], 4)
     np.testing.assert_array_equal(res["xla"][0], res["native"][0])
     np.testing.assert_array_equal(res["xla"][1], res["native"][1])
+
+
+def test_stream_kernel_matches_xla():
+    from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
+    from guidemaker_tpu.knn.pallas_stream import stream_topk_device
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 4, size=(700, 20)).astype(np.uint8)
+    db_dev = prepare_db_codes(codes, 128)
+    d_s, i_s = stream_topk_device(codes[:100], db_dev, 700, 4, 20,
+                                  db_tile=128, q_tile=32)
+    q_oh = dna.one_hot_matrix(codes[:100])
+    db_oh = dna.one_hot_matrix(codes)
+    d_x, i_x = hamming_topk(q_oh, db_oh, 4, 20)
+    np.testing.assert_array_equal(d_s, d_x)
+    np.testing.assert_array_equal(i_s, i_x)
+
+
+def test_stream_kernel_k_exceeds_db():
+    from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
+    from guidemaker_tpu.knn.pallas_stream import stream_topk_device
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=(3, 20)).astype(np.uint8)
+    db_dev = prepare_db_codes(codes, 128)
+    d, i = stream_topk_device(codes, db_dev, 3, 6, 20, db_tile=128)
+    assert (d[:, 3:] == -1).all() and (i[:, 3:] == -1).all()
