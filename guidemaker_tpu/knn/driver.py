@@ -102,16 +102,20 @@ class KnnIndex:
                                         mesh=self._db_dev)
         if self.backend == "pallas":
             from . import pallas_hamming as ph
+            stream = nd >= STREAM_THRESHOLD
             if self._db_dev is None:
-                self._db_tile = min(1024, max(128, 1 << int(nd - 1).bit_length()))
+                # wide db tiles amortize the merge passes in the streaming
+                # kernel (swept on v5e: q256/d8192 = 0.24 T pairs/s)
+                want = 8192 if stream else 1024
+                self._db_tile = min(want, max(128, 1 << int(nd - 1).bit_length()))
                 self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
-            if nd >= STREAM_THRESHOLD:
+            if stream:
                 # large databases: stream db tiles inside the kernel
                 # (per-grid-step overhead would dominate the 2-D grid)
                 from .pallas_stream import stream_topk_device
                 return stream_topk_device(qc, self._db_dev, nd, k,
                                           self.length,
-                                          db_tile=self._db_tile)
+                                          db_tile=self._db_tile, q_tile=256)
             return ph.pallas_topk_device(None, self._db_dev, nd, k,
                                          self.length, db_tile=self._db_tile,
                                          q_codes=qc)
