@@ -44,7 +44,7 @@ class KnnIndex:
     """An exact nearest-neighbor index over equal-length guide sequences."""
 
     def __init__(self, seqs: Sequence[str], metric: str = "hamming",
-                 backend: str = None):
+                 backend: str = None, num_threads: int = 0):
         if len(seqs) == 0:
             raise ValueError("cannot build an index over zero sequences")
         self.seqs: List[str] = list(seqs)
@@ -54,6 +54,7 @@ class KnnIndex:
         for s in self.seqs:
             if len(s) != self.length:
                 raise ValueError("all indexed sequences must share one length")
+        self.num_threads = num_threads  # native backend only (0 = all cores)
         codes = dna.encode_batch(self.seqs, self.length)
         self._codes = codes.astype(np.uint8)
         self._db_dev = None   # device-resident padded database (lazy)
@@ -90,7 +91,8 @@ class KnnIndex:
         if self.backend == "native":
             from .. import native
             if native.available():
-                return native.hamming_topk(qc, self._codes, k)
+                return native.hamming_topk(qc, self._codes, k,
+                                           n_threads=self.num_threads)
         nd = len(self.seqs)
         if self.backend == "sharded":
             from ..distributed import auto_mesh

@@ -67,11 +67,12 @@ def _kernel(q_ref, db_ref, out_ref, *, k: int, length: int, db_tile: int):
 
     cand = jnp.concatenate([out_ref[:, :k], keys], axis=1)
     tops = []
-    for _ in range(k):
+    for s_ in range(k):
         m = jnp.min(cand, axis=1)
         tops.append(m)
         # keys are unique per row -> equality masking removes exactly one
-        cand = jnp.where(cand == m[:, None], INF_KEY, cand)
+        if s_ + 1 < k:  # no mask needed after the final extraction
+            cand = jnp.where(cand == m[:, None], INF_KEY, cand)
     topk = jnp.stack(tops, axis=1)
     pad = jnp.full((topk.shape[0], LANES - k), INF_KEY, dtype=jnp.int32)
     out_ref[:] = jnp.concatenate([topk, pad], axis=1)

@@ -58,10 +58,11 @@ def _stream_kernel(q_ref, db_hbm, out_ref, db_buf, sems, *,
         keys = (dist << IDX_BITS) | gidx
         cand = jnp.concatenate([best, keys], axis=1)
         tops = []
-        for _ in range(k):
+        for s_ in range(k):
             m = jnp.min(cand, axis=1)
             tops.append(m)
-            cand = jnp.where(cand == m[:, None], INF_KEY, cand)
+            if s_ + 1 < k:  # no need to mask after the final extraction
+                cand = jnp.where(cand == m[:, None], INF_KEY, cand)
         return jnp.stack(tops, axis=1)
 
     best = jax.lax.fori_loop(0, n_db_tiles, body, init)

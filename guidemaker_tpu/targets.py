@@ -127,7 +127,8 @@ class TargetProcessor:
         metric = "hamming" if metric == "hamming" else "leven"
         logger.info("Building exact %s k-NN index over %d unique targets",
                     metric, len(notduplicated_targets))
-        self.index = KnnIndex(notduplicated_targets, metric=metric)
+        self.index = KnnIndex(notduplicated_targets, metric=metric,
+                              num_threads=num_threads)
 
     # ------------------------------------------------------------------
     def get_neighbors(self, configpath: str = None, num_threads: int = 2) -> None:

@@ -134,3 +134,21 @@ def test_target_seq30_context(genome_fasta):
     assert row["target_seq30"][24 + 1:27] == row["exact_pam"][1:]
     rrow = ok[ok["strand"] == False].iloc[0]  # noqa: E712
     assert rrow["target_seq30"][4:24] == rrow["target"]
+
+
+def test_context_window_preserves_ambiguity_letters():
+    # non-ACGT letters in the 30-mer context are kept verbatim (the guide
+    # itself must be clean, but flanks may contain N/R/...)
+    seq = "AAAAAA" + "R" + "TTTTTTTTTTTTTTTTTTTT" + "AGG" + "TTTN" + "A" * 20
+    pamobj = PamTarget("NGG", "3prime", "hamming")
+    df = pamobj.find_targets([SeqRecord("t", seq)], target_len=20)
+    row = df[df["strand"] == True].iloc[0]  # noqa: E712
+    assert row["target"] == "T" * 20
+    assert "N" in row["target_seq30"] or "R" in row["target_seq30"]
+
+
+def test_short_contig_yields_no_targets_no_crash():
+    pamobj = PamTarget("NGG", "3prime", "hamming")
+    df = pamobj.find_targets(
+        [SeqRecord("tiny", "AGG"), SeqRecord("ok", "T" * 25 + "AGGAA")], 20)
+    assert (df["seqid"] == "ok").all()
