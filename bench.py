@@ -131,6 +131,8 @@ def bench_knn(onehot, k, length, *, db_tile=1024, q_tile=512, repeats=3):
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+    from guidemaker_tpu.util import warm_d2h_channel
+    warm_d2h_channel()  # overlap the tunnel's one-time d2h stall with setup
 
     # --- headline: C. ruddii k=3 (direct baseline exists) ---
     cr = os.path.join(REPO, "tests", "test_data", "Carsonella_ruddii.gbk.gz")

@@ -17,6 +17,25 @@ so users can switch with minimal changes:
 * :mod:`guidemaker_tpu.cli` — command line with the reference's flags
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: kernel compiles (~15 s of one-hot +
+# streaming-topk programs per genome-scale run) are shape-stable across
+# runs, so cache them on disk.  Opt out with GUIDEMAKER_TPU_NO_CACHE=1 or
+# by setting JAX_COMPILATION_CACHE_DIR yourself.
+if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
+        not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/guidemaker_tpu/jax"))
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # jax missing/misconfigured: library still imports
+        pass
+
 from .definitions import ROOT_DIR, CONFIG_PATH, WEB_APP, APP_PARAMETER_IMG, APP_EXPERIMENT_FILE
 from .dna import extend_ambiguous_dna, reverse_complement
 from .io import get_fastas, is_gzip

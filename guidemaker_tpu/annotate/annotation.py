@@ -204,26 +204,19 @@ class Annotation:
         def get_guide_hash(seq):
             return hashlib.md5(seq.encode()).hexdigest()
 
-        def get_off_target_score(seq):
-            dlist = targetprocessor_object.neighbors[seq]["neighbors"]["dist"]
-            return ";".join(str(i) for i in dlist)
-
-        def get_off_target_seqs(seq):
-            return ";".join(
-                targetprocessor_object.neighbors[seq]["neighbors"]["seqs"])
-
         pretty_df = deepcopy(self.filtered_df)
         pretty_df = pretty_df[pretty_df["Guide sequence"].isin(
-            list(targetprocessor_object.neighbors.keys()))]
+            set(targetprocessor_object.passing_seqs()))]
         pretty_df["GC"] = pretty_df["Guide sequence"].apply(gc)
         pretty_df["Guide name"] = pretty_df["Guide sequence"].apply(get_guide_hash)
         pretty_df["Target strand"] = np.where(
             pretty_df["Guide strand"] == pretty_df["Feature strand"],
             "coding", "non-coding")
-        pretty_df["Similar guide distances"] = pretty_df["Guide sequence"].apply(
-            get_off_target_score)
-        pretty_df["Similar guides"] = pretty_df["Guide sequence"].apply(
-            get_off_target_seqs)
+        # similar-guide strings, built vectorized only for retained guides
+        need = pretty_df["Guide sequence"].unique()
+        simframe = targetprocessor_object.neighbor_frame(need)
+        pretty_df = pd.merge(pretty_df, simframe, how="left",
+                             on="Guide sequence")
 
         targets = targetprocessor_object.targets.copy()
         targets["start"] = targets["start"].astype(np.int64)

@@ -96,12 +96,13 @@ def decode(codes: np.ndarray) -> str:
 
 
 def decode_rows(codes: np.ndarray) -> List[str]:
-    """Decode a (n, L) code matrix into n strings (single bulk conversion)."""
+    """Decode a (n, L) code matrix into n strings (single bulk conversion:
+    bytes -> fixed-width S dtype -> U dtype, all in C)."""
     if codes.size == 0:
         return []
     n, length = codes.shape
     blob = CODE_TO_BYTE[codes.astype(np.intp)].tobytes()
-    return [blob[i * length:(i + 1) * length].decode("ascii") for i in range(n)]
+    return np.frombuffer(blob, dtype=f"S{length}").astype(f"U{length}").tolist()
 
 
 def revcomp_codes(codes: np.ndarray, axis: int = -1) -> np.ndarray:

@@ -55,6 +55,9 @@ class KnnIndex:
             if len(s) != self.length:
                 raise ValueError("all indexed sequences must share one length")
         self.num_threads = num_threads  # native backend only (0 = all cores)
+        if self.backend != "native":
+            from ..util import warm_d2h_channel
+            warm_d2h_channel()  # start opening the d2h channel early
         codes = dna.encode_batch(self.seqs, self.length)
         self._codes = codes.astype(np.uint8)
         self._db_dev = None   # device-resident padded database (lazy)
@@ -85,6 +88,11 @@ class KnnIndex:
         """
         if len(seqs) == 0:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.int32))
+        if self.backend != "native":
+            # block until the d2h relay channel is open (usually a no-op:
+            # the pipeline starts the warmup thread before the scan stage)
+            from ..util import warm_d2h_channel
+            warm_d2h_channel(wait=True)
         qc = self._encode_queries(seqs)
         if self.metric != "hamming":
             return leven_topk(qc, self._codes, k)

@@ -187,10 +187,10 @@ class PamTarget:
             # them to N for decoding, and recover exact text from the raw
             # string where the window contains invalid codes.
             good = dna.decode_rows(cmat)
-            gi = 0
-            for i in np.nonzero(ctx_ok)[0]:
-                ctx30[i] = good[gi]
-                gi += 1
+            ctx_arr = np.empty(s.size, dtype=object)
+            ctx_arr[~ctx_ok] = ""
+            ctx_arr[ctx_ok] = good
+            ctx30 = ctx_arr.tolist()
             # windows containing non-ACGT letters: take exact text
             has_inv = np.zeros(s.size, dtype=bool)
             lo = c_lo.copy()

@@ -71,16 +71,91 @@ def _tree_leaf_weights(x, feature, threshold, children, is_leaf, value,
     return value[tree_ix, node]
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _tree_leaf_nodes(x, feature, threshold, children, is_leaf,
+                     *, max_depth: int):
+    """Per-(sequence, tree) *leaf node id* after descending the trees.
+
+    Returned as int8 (node ids < 128 always for these shallow trees):
+    the id matrix is small and low-entropy, so the device→host transfer
+    is cheap even through tunneled transports, unlike the float32 leaf
+    value matrix.  The host maps ids to values and accumulates in exact
+    tree order.
+    """
+    n_trees = feature.shape[0]
+    batch = x.shape[0]
+    node = jnp.zeros((batch, n_trees), dtype=jnp.int32)
+    tree_ix = jnp.arange(n_trees)[None, :]
+    for _ in range(max_depth):
+        feat = feature[tree_ix, node]                       # (B, T)
+        thr = threshold[tree_ix, node]
+        leaf = is_leaf[tree_ix, node]
+        xv = jnp.take_along_axis(x, feat.reshape(batch, -1), axis=1)
+        go_true = xv <= thr
+        nxt = jnp.where(go_true, children[tree_ix, node, 0],
+                        children[tree_ix, node, 1])
+        node = jnp.where(leaf, node, nxt)
+    return node.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _tree_leaf_nodes_split(x_u8, x_f32, col_perm, feature, threshold,
+                           children, is_leaf, *, max_depth: int):
+    """`_tree_leaf_nodes` over a compactly-transferred feature matrix:
+    integer-valued columns ship as uint8 (low-entropy, 4x smaller) and the
+    remaining float columns as float32; `col_perm` restores column order.
+    uint8→float32 conversion is exact, so descent results are unchanged."""
+    x = jnp.concatenate(
+        [x_u8.astype(jnp.float32), x_f32], axis=1)[:, col_perm]
+    return _tree_leaf_nodes.__wrapped__(
+        x, feature, threshold, children, is_leaf, max_depth=max_depth)
+
+
+#: batch tile for tree descent: fixed shapes make the (slow, remote)
+#: XLA compile a one-time cost shared by every genome via the persistent
+#: compilation cache
+BATCH_TILE = 32768
+
+
 def ensemble_predict(ens: TreeEnsemble, features: np.ndarray) -> np.ndarray:
     """Evaluate the ensemble; returns (B, 1) float32 like onnxruntime."""
-    x = jnp.asarray(features.astype(np.float32))
-    w = np.asarray(_tree_leaf_weights(
-        x, jnp.asarray(ens.feature), jnp.asarray(ens.threshold),
-        jnp.asarray(ens.children), jnp.asarray(ens.is_leaf),
-        jnp.asarray(ens.value), max_depth=ens.max_depth))
+    f32 = np.ascontiguousarray(features, dtype=np.float32)
+    n = f32.shape[0]
+
+    # column split: small-integer columns travel as uint8
+    as_u8 = f32.astype(np.uint8)
+    int_col = (as_u8.astype(np.float32) == f32).all(axis=0)
+    u8_cols = np.flatnonzero(int_col)
+    f_cols = np.flatnonzero(~int_col)
+    order = np.concatenate([u8_cols, f_cols])
+    col_perm = jnp.asarray(np.argsort(order).astype(np.int32))
+    u8_block = np.ascontiguousarray(as_u8[:, u8_cols])
+    f_block = np.ascontiguousarray(f32[:, f_cols])
+
+    tree_args = (jnp.asarray(ens.feature), jnp.asarray(ens.threshold),
+                 jnp.asarray(ens.children), jnp.asarray(ens.is_leaf))
+    n_trees = ens.feature.shape[0]
+
+    tile = BATCH_TILE if n > BATCH_TILE else max(
+        8, 1 << int(n - 1).bit_length())
+    chunks = []
+    for lo in range(0, n, tile):
+        hi = min(lo + tile, n)
+        u8c = u8_block[lo:hi]
+        fc = f_block[lo:hi]
+        if hi - lo < tile:  # pad the tail chunk to the compiled shape
+            pad = tile - (hi - lo)
+            u8c = np.pad(u8c, ((0, pad), (0, 0)))
+            fc = np.pad(fc, ((0, pad), (0, 0)))
+        chunks.append(_tree_leaf_nodes_split(
+            jnp.asarray(u8c), jnp.asarray(fc), col_perm, *tree_args,
+            max_depth=ens.max_depth))
+    nodes = np.concatenate([np.asarray(c) for c in chunks],
+                           axis=0)[:n].astype(np.intp)       # (B, T)
+    w = ens.value[np.arange(n_trees)[None, :], nodes]        # (B, T) f32
     # sequential float32 accumulation in tree order (onnxruntime-compatible)
-    score = np.zeros(w.shape[0], dtype=np.float32)
-    for t in range(w.shape[1]):
+    score = np.zeros(n, dtype=np.float32)
+    for t in range(n_trees):
         score += w[:, t]
     score += np.float32(ens.base_value)
     return score[:, None]

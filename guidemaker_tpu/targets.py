@@ -48,7 +48,10 @@ class TargetProcessor:
         self.editdist: int = editdist
         self.knum: int = knum
         self.index: Optional[KnnIndex] = None
-        self.neighbors: Dict = {}
+        self._nb_pass_seqs: List[str] = []
+        self._nb_dists: Optional[np.ndarray] = None  # (npass, k) int32
+        self._nb_idxs: Optional[np.ndarray] = None   # (npass, k) int32
+        self._neighbors_cache: Optional[Dict] = None
         self.ncontrolsearched: Optional[int] = None
         self.gc_percent: Optional[float] = None
         self.genomesize: Optional[float] = None
@@ -146,23 +149,96 @@ class TargetProcessor:
         # dedup queries (dict semantics collapse duplicates anyway)
         query_seqs = list(dict.fromkeys(unique_targets))
         dists, idxs = self.index.query(query_seqs, k=self.knum)
-        neighbor_dict: Dict = {}
-        for qi, queryseq in enumerate(query_seqs):
-            drow = dists[qi]
-            if len(drow) < 2 or drow[1] < 0:
-                continue
-            if drow[1] >= self.editdist:
-                valid = drow >= 0
-                neighbor_dict[queryseq] = {
-                    "target": queryseq,
-                    "neighbors": {
-                        "seqs": self.index.neighbor_seqs(idxs[qi][valid]),
-                        "dist": [int(d) for d in drow[valid]],
-                    },
-                }
-        self.neighbors = neighbor_dict
+        self._neighbors_cache = None
+        if dists.shape[1] >= 2:
+            # vectorized threshold: at genome scale (>1M queries) any
+            # per-row Python/numpy loop here dominates the k-NN stage
+            passing = np.flatnonzero(
+                (dists[:, 1] >= 0) & (dists[:, 1] >= self.editdist))
+            qarr = np.asarray(query_seqs, dtype=object)
+            self._nb_pass_seqs = qarr[passing].tolist()
+            self._nb_dists = dists[passing]
+            self._nb_idxs = idxs[passing]
+        else:
+            self._nb_pass_seqs = []
+            self._nb_dists = np.empty((0, dists.shape[1]), np.int32)
+            self._nb_idxs = np.empty((0, dists.shape[1]), np.int32)
         logger.info("%d of %d queried targets passed the distance filter",
-                    len(neighbor_dict), len(query_seqs))
+                    len(self._nb_pass_seqs), len(query_seqs))
+
+    # ------------------------------------------------------------------
+    @property
+    def neighbors(self) -> Dict:
+        """Reference-shaped neighbor dict
+        ``{queryseq: {target, neighbors: {seqs, dist}}}`` (core.py:504-523).
+
+        Materialized lazily from the array results: building >1M nested
+        dicts costs ~30 s in CPython, and the pipeline itself never needs
+        the dict form (it uses :meth:`neighbor_frame` /
+        :meth:`passing_seqs`).  Library users keep the reference API.
+        """
+        if self._neighbors_cache is None:
+            import gc
+            neighbor_dict: Dict = {}
+            if self._nb_dists is not None and len(self._nb_pass_seqs):
+                dlist = self._nb_dists.tolist()
+                ilist = self._nb_idxs.tolist()
+                db_seqs = self.index.seqs
+                padded = bool((self._nb_dists < 0).any())
+                gc.disable()  # ~1.4x: no cyclic garbage is created here
+                try:
+                    for qi, queryseq in enumerate(self._nb_pass_seqs):
+                        drow = dlist[qi]
+                        if padded:
+                            drow = [d for d in drow if d >= 0]
+                        neighbor_dict[queryseq] = {
+                            "target": queryseq,
+                            "neighbors": {
+                                "seqs": [db_seqs[j]
+                                         for j in ilist[qi][:len(drow)]],
+                                "dist": drow,
+                            },
+                        }
+                finally:
+                    gc.enable()
+            self._neighbors_cache = neighbor_dict
+        return self._neighbors_cache
+
+    @neighbors.setter
+    def neighbors(self, value: Dict) -> None:
+        self._neighbors_cache = value
+        self._nb_pass_seqs = list(value.keys())
+
+    def passing_seqs(self) -> List[str]:
+        """Query sequences that passed the distance filter (dict keys)."""
+        return self._nb_pass_seqs
+
+    def neighbor_frame(self, seqs) -> pd.DataFrame:
+        """Vectorized ``Similar guides`` / ``Similar guide distances``
+        columns for the given guide sequences (must be passing seqs).
+
+        Equivalent to joining ``neighbors[seq]['neighbors']`` with ';'
+        (core.py:929-931) but only materializes strings for the guides
+        that survive annotation filtering.
+        """
+        pos = pd.Index(self._nb_pass_seqs).get_indexer(seqs)
+        if (pos < 0).any():
+            missing = [s for s, p in zip(seqs, pos) if p < 0][:3]
+            raise KeyError(f"sequences not in neighbor results: {missing}")
+        db_seqs = np.asarray(self.index.seqs, dtype=object)
+        d = self._nb_dists[pos]
+        i = self._nb_idxs[pos]
+        dist_strs, seq_strs = [], []
+        dl, il = d.tolist(), i.tolist()
+        for row_d, row_i in zip(dl, il):
+            n_valid = sum(1 for x in row_d if x >= 0)
+            dist_strs.append(";".join(map(str, row_d[:n_valid])))
+            seq_strs.append(";".join(db_seqs[j] for j in row_i[:n_valid]))
+        return pd.DataFrame({
+            "Guide sequence": list(seqs),
+            "Similar guides": seq_strs,
+            "Similar guide distances": dist_strs,
+        })
 
     # ------------------------------------------------------------------
     def export_bed(self) -> pd.DataFrame:

@@ -9,19 +9,57 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import threading
 import time
 
 logger = logging.getLogger("guidemaker_tpu.timing")
 
+_warm_lock = threading.Lock()
+_warm_thread = None
+
+
+def warm_d2h_channel(wait: bool = False) -> None:
+    """Warm the device→host transfer channel in a background thread.
+
+    On tunneled/remote TPU backends the *first* device→host literal
+    transfer in a process can stall for ~60 s per chunk while the relay
+    establishes its return stream; once one transfer completes, sustained
+    d2h runs at tens of MB/s (measured on the v5e tunnel: cold 14 MB
+    result = 458 s, warm = 0.7 s).  Firing a tiny transfer from a daemon
+    thread as soon as the pipeline starts overlaps that one-time cost
+    with host-side work (genome parsing, PAM scan, kernel compiles), so
+    the real k-NN result transfer finds the channel already open.
+
+    Idempotent; a no-op on local backends (the tiny transfer costs <1 ms).
+    """
+    global _warm_thread
+    with _warm_lock:
+        if _warm_thread is None:
+            def _warm():
+                try:
+                    import jax.numpy as jnp
+                    import numpy as np
+                    np.asarray(jnp.zeros(8, jnp.int32))
+                except Exception:  # no device / init failure: nothing to warm
+                    pass
+            _warm_thread = threading.Thread(
+                target=_warm, name="gm-d2h-warmup", daemon=True)
+            _warm_thread.start()
+        th = _warm_thread
+    if wait:
+        th.join()
+
 
 @contextlib.contextmanager
 def stage_timer(name: str):
-    """Log the wall-clock duration of a pipeline stage."""
+    """Log the wall-clock (and process CPU) duration of a pipeline stage."""
     t0 = time.time()
+    c0 = time.process_time()
     try:
         yield
     finally:
-        logger.info("[stage] %-28s %8.3f s", name, time.time() - t0)
+        logger.info("[stage] %-28s %8.3f s  (cpu %.3f s)",
+                    name, time.time() - t0, time.process_time() - c0)
 
 
 @contextlib.contextmanager
