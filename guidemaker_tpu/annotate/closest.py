@@ -91,7 +91,7 @@ def closest_join(guides: pd.DataFrame, features: pd.DataFrame,
         fs, fe = fc["fs"], fc["fe"]
         nfeat = fs.shape[0]
         gs, ge = g_start[sel], g_end[sel]
-        plus = np.array([s == "+" for s in g_strand[sel]])
+        plus = g_strand[sel] == "+"
 
         # --- first overlapping feature (if any): distance 0
         j_ov = np.searchsorted(fc["prefmax"], gs, side="right")

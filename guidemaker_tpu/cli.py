@@ -120,6 +120,9 @@ def main(arglist: list = None) -> None:
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    # open the device->host relay channel during startup/parsing
+    from .util import warm_d2h_channel
+    warm_d2h_channel()
 
     cfg = PipelineConfig(
         genbank=args.genbank, fasta=args.fasta, gff=args.gff,

@@ -88,11 +88,6 @@ class KnnIndex:
         """
         if len(seqs) == 0:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.int32))
-        if self.backend != "native":
-            # block until the d2h relay channel is open (usually a no-op:
-            # the pipeline starts the warmup thread before the scan stage)
-            from ..util import warm_d2h_channel
-            warm_d2h_channel(wait=True)
         qc = self._encode_queries(seqs)
         if self.metric != "hamming":
             return leven_topk(qc, self._codes, k)
@@ -136,6 +131,48 @@ class KnnIndex:
             self._db_dev = prepare_db(self._onehot, self._db_tile)
         return hamming_topk_device(q_oh, self._db_dev, nd, k, self.length,
                                    db_tile=self._db_tile)
+
+    def pass_distance_filter(self, seqs: Sequence[str],
+                             editdist: int) -> np.ndarray:
+        """(nq,) bool: does each query's 2nd-nearest neighbor (self is the
+        1st — queries must be members of this index) sit at distance
+        >= editdist?  This is the reference's guide-retention rule
+        (core.py:509-522) without materializing any neighbor lists.
+
+        On the streaming TPU path this runs a counting kernel — one VPU
+        pass per guide pair instead of the top-k merge's k passes, and a
+        1-bit-entropy result transfer; elsewhere it derives the answer
+        from a k=2 query.
+        """
+        if len(seqs) == 0:
+            return np.zeros(0, dtype=bool)
+        nd = len(self.seqs)
+        if nd < 2:
+            # reference semantics: dists[1] is padding (-1) -> nothing passes
+            return np.zeros(len(seqs), dtype=bool)
+        if (self.metric == "hamming" and self.backend == "pallas"
+                and nd >= STREAM_THRESHOLD and editdist <= self.length):
+            from .pallas_stream import stream_count_device
+            if self._db_dev is None:
+                self._db_tile = min(
+                    8192, max(128, 1 << int(nd - 1).bit_length()))
+                from . import pallas_hamming as ph
+                self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            if len(seqs) == nd and list(seqs) == self.seqs:
+                # all-vs-all: reuse the resident database one-hot
+                counts = stream_count_device(
+                    None, self._db_dev, nd, editdist, self.length,
+                    db_tile=self._db_tile, q_tile=256,
+                    q_dev=self._db_dev, nq=nd)
+            else:
+                qc = self._encode_queries(seqs)
+                counts = stream_count_device(qc, self._db_dev, nd, editdist,
+                                             self.length,
+                                             db_tile=self._db_tile,
+                                             q_tile=256)
+            return counts == 1
+        dists, _ = self.query(seqs, k=2)
+        return (dists[:, 1] >= 0) & (dists[:, 1] >= editdist)
 
     def neighbor_seqs(self, idx_row: np.ndarray) -> List[str]:
         """Map database indices to sequences (fixes the reference's

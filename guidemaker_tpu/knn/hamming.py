@@ -42,7 +42,8 @@ def pack_keys(dist: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def unpack_keys(keys: np.ndarray):
     """Packed keys -> (dist, idx); sentinel keys -> (-1, -1)."""
-    keys = np.asarray(keys)
+    from ..util import fetch
+    keys = fetch(keys)
     invalid = keys >= INF_KEY
     dist = (keys >> IDX_BITS).astype(np.int32)
     idx = (keys & IDX_MASK).astype(np.int32)
@@ -143,7 +144,8 @@ def hamming_topk_device(q_onehot: np.ndarray, db_dev, nd: int, k: int,
     q_dev = jnp.asarray(_pad_rows(q_onehot, q_tile), dtype=jnp.bfloat16)
     keys = _topk_all(q_dev, db_dev, jnp.int32(nd), jnp.int32(idx_offset),
                      k=k_eff, length=length, db_tile=db_tile, q_tile=q_tile)
-    out = np.asarray(keys)[:nq]
+    from ..util import fetch
+    out = fetch(keys)[:nq]
 
     dist, idx = unpack_keys(out)
     if k_eff < k:

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..util import fetch
+
 from .hamming import INF_KEY, _merge_topk, _pad_rows, pack_keys, unpack_keys
 
 
@@ -89,7 +91,7 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
         keys = _topk_tiles_leven(jnp.asarray(q_pad[i:i + q_tile]), db_dev,
                                  jnp.int32(nd), jnp.int32(idx_offset),
                                  k=k_eff, length=length, db_tile=db_tile)
-        out[i:i + q_tile] = np.asarray(keys)
+        out[i:i + q_tile] = fetch(keys)
     out = out[:nq]
 
     dist, idx = unpack_keys(out)

@@ -59,8 +59,8 @@ def _kernel(q_ref, db_ref, out_ref, *, k: int, length: int, db_tile: int):
         out_ref[:] = jnp.full_like(out_ref, INF_KEY)
 
     matches = jnp.dot(q_ref[:], db_ref[:].T,
-                      preferred_element_type=jnp.float32)
-    dist = (jnp.float32(length) - matches).astype(jnp.int32)
+                      preferred_element_type=jnp.int32)
+    dist = jnp.int32(length) - matches
     gidx = j * db_tile + jax.lax.broadcasted_iota(
         jnp.int32, dist.shape, dimension=1)
     keys = (dist << IDX_BITS) | gidx
@@ -118,7 +118,11 @@ def _pad_feat(onehot: np.ndarray) -> np.ndarray:
 
 @jax.jit
 def _onehot_on_device(codes) -> jnp.ndarray:
-    """(n, L) uint8 codes -> (n, ceil(4L/128)*128) bf16 one-hot, on device.
+    """(n, L) uint8 codes -> (n, ceil(4L/128)*128) int8 one-hot, on device.
+
+    int8 runs the MXU at 2x bf16 rate on v5e (measured 1.15 vs 0.61
+    T pairs/s) and halves HBM/VMEM/DMA traffic; 0/1 one-hot dot products
+    are exact in int32 accumulation.
 
     Transfers 2-bit codes instead of the 16x larger one-hot matrix —
     host->device traffic is the scaling bottleneck for million-guide
@@ -126,7 +130,7 @@ def _onehot_on_device(codes) -> jnp.ndarray:
     one-hot to all-zero, preserving the "padding never matches" invariant.
     """
     n, length = codes.shape
-    oh = jax.nn.one_hot(codes, 4, dtype=jnp.bfloat16).reshape(n, 4 * length)
+    oh = jax.nn.one_hot(codes, 4, dtype=jnp.int8).reshape(n, 4 * length)
     feat_pad = -(4 * length) % LANES
     if feat_pad:
         oh = jnp.pad(oh, ((0, 0), (0, feat_pad)))
@@ -144,7 +148,7 @@ def _pad_code_rows(codes: np.ndarray, multiple: int) -> np.ndarray:
 def prepare_db_pallas(db_onehot: np.ndarray, db_tile: int):
     """Pad (rows + feature lanes) and transfer the database once."""
     return jnp.asarray(_pad_rows(_pad_feat(db_onehot), db_tile),
-                       dtype=jnp.bfloat16)
+                       dtype=jnp.int8)
 
 
 def prepare_db_codes(db_codes: np.ndarray, db_tile: int):
@@ -176,12 +180,13 @@ def pallas_topk_device(q_onehot: np.ndarray, db_dev, nd: int, k: int,
             jnp.asarray(_pad_code_rows(q_codes, q_tile)))
     else:
         q_dev = jnp.asarray(_pad_rows(_pad_feat(q_onehot), q_tile),
-                            dtype=jnp.bfloat16)
+                            dtype=jnp.int8)
     keys = _pallas_topk(
         q_dev, db_dev, k=k_eff, length=length, q_tile=q_tile,
         db_tile=db_tile, interpret=interpret)
     # slice on device: only (nq, k) ints cross the host link
-    out = np.asarray(keys[:nq, :k_eff])
+    from ..util import fetch
+    out = fetch(keys[:nq, :k_eff])
 
     dist, idx = unpack_keys(out)
     # entries pointing at padding rows are invalid (k > true db size)

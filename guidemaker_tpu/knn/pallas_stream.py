@@ -51,8 +51,8 @@ def _stream_kernel(q_ref, db_hbm, out_ref, db_buf, sems, *,
 
         get_dma(slot, j).wait()
         matches = jnp.dot(q, db_buf[slot].T,
-                          preferred_element_type=jnp.float32)
-        dist = (jnp.float32(length) - matches).astype(jnp.int32)
+                          preferred_element_type=jnp.int32)
+        dist = jnp.int32(length) - matches
         gidx = j * db_tile + jax.lax.broadcasted_iota(
             jnp.int32, dist.shape, dimension=1)
         keys = (dist << IDX_BITS) | gidx
@@ -92,15 +92,118 @@ def _stream_topk(q_oh, db_oh, *, k, length, q_tile, db_tile,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, db_tile, feat), jnp.bfloat16),
+            pltpu.VMEM((2, db_tile, feat), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * nd * feat,
-            bytes_accessed=q_oh.size * 2 + db_oh.size * 2 * (nq // q_tile),
+            bytes_accessed=q_oh.size + db_oh.size * (nq // q_tile),
             transcendentals=0),
     )(q_oh, db_oh)
+
+
+def _count_kernel(q_ref, db_hbm, out_ref, db_buf, sems, *,
+                  length, editdist, db_tile, n_db_tiles):
+    """Count database entries with distance < editdist per query.
+
+    One VPU pass per (q, db) pair instead of the top-k merge's k passes:
+    the distance-filter decision (core.py:509-522) only needs
+    ``count(dist < editdist) == 1`` when the query itself is in the
+    (deduplicated) database — self is the unique dist-0 hit.  Padding
+    rows (all-zero one-hot) have dist == length >= editdist, so they are
+    never counted (the driver rejects editdist > length up front).
+    """
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            db_hbm.at[pl.ds(j * db_tile, db_tile), :],
+            db_buf.at[slot], sems.at[slot])
+
+    get_dma(0, 0).start()
+    q = q_ref[:]
+    init = jnp.zeros((q.shape[0],), dtype=jnp.int32)
+    # dist < editdist  <=>  matches > length - editdist
+    thresh = jnp.int32(length - editdist)
+
+    def body(j, cnt):
+        slot = j % 2
+
+        @pl.when(j + 1 < n_db_tiles)
+        def _():
+            get_dma((j + 1) % 2, j + 1).start()
+
+        get_dma(slot, j).wait()
+        matches = jnp.dot(q, db_buf[slot].T,
+                          preferred_element_type=jnp.int32)
+        return cnt + jnp.sum((matches > thresh).astype(jnp.int32), axis=1)
+
+    cnt = jax.lax.fori_loop(0, n_db_tiles, body, init)
+    out_ref[:] = jnp.broadcast_to(cnt[:, None], out_ref.shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "editdist", "q_tile",
+                                    "db_tile", "interpret"))
+def _stream_count(q_oh, db_oh, *, length, editdist, q_tile, db_tile,
+                  interpret=False):
+    nq, feat = q_oh.shape
+    nd = db_oh.shape[0]
+    n_db_tiles = nd // db_tile
+    kernel = functools.partial(_count_kernel, length=length,
+                               editdist=editdist, db_tile=db_tile,
+                               n_db_tiles=n_db_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=(nq // q_tile,),
+        in_specs=[
+            pl.BlockSpec((q_tile, feat), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((q_tile, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, db_tile, feat), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * nd * feat,
+            bytes_accessed=q_oh.size + db_oh.size * (nq // q_tile),
+            transcendentals=0),
+    )(q_oh, db_oh)
+
+
+def stream_count_device(q_codes: np.ndarray, db_dev, nd: int,
+                        editdist: int, length: int, *, db_tile: int,
+                        q_tile: int = 512, q_dev=None, nq: int = None,
+                        interpret: bool = False) -> np.ndarray:
+    """(nq,) int32 counts of database entries with dist < editdist.
+
+    The count vector is almost entirely the self-hit value 1, so the
+    device->host transfer compresses to nearly nothing — unlike top-k
+    index matrices, which are incompressible.
+    """
+    if editdist > length:
+        raise ValueError("editdist must be <= guide length for counting")
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if q_dev is None:
+        nq = q_codes.shape[0]
+        q_tile = min(q_tile, max(8, 1 << int(nq - 1).bit_length()))
+        q_tile, _ = clamp_tiles(q_tile, db_tile)
+        q_dev = _onehot_on_device(jnp.asarray(_pad_code_rows(q_codes, q_tile)))
+    else:
+        # queries == database: reuse the resident one-hot (its padding
+        # rows one-hot to zero -> count 0, sliced off below)
+        q_tile, _ = clamp_tiles(q_tile, db_tile)
+        assert nq is not None and q_dev.shape[0] % q_tile == 0
+    counts = _stream_count(q_dev, db_dev, length=length, editdist=editdist,
+                           q_tile=q_tile, db_tile=db_tile,
+                           interpret=interpret)
+    from ..util import fetch
+    return fetch(counts[:nq, 0])
 
 
 def stream_topk_device(q_codes: np.ndarray, db_dev, nd: int, k: int,
@@ -116,7 +219,8 @@ def stream_topk_device(q_codes: np.ndarray, db_dev, nd: int, k: int,
     q_dev = _onehot_on_device(jnp.asarray(_pad_code_rows(q_codes, q_tile)))
     keys = _stream_topk(q_dev, db_dev, k=k_eff, length=length,
                         q_tile=q_tile, db_tile=db_tile, interpret=interpret)
-    out = np.asarray(keys[:nq, :k_eff])
+    from ..util import fetch
+    out = fetch(keys[:nq, :k_eff])
 
     dist, idx = unpack_keys(out)
     bad = idx >= nd

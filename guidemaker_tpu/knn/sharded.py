@@ -152,7 +152,8 @@ def sharded_hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray,
                               NamedSharding(mesh, P("d")))
     off_sh = jax.device_put(jnp.asarray(offsets),
                             NamedSharding(mesh, P("d")))
-    keys = np.asarray(step(q_sh, db_sh, valid_sh, off_sh))[:nq]
+    from ..util import fetch
+    keys = fetch(step(q_sh, db_sh, valid_sh, off_sh))[:nq]
 
     dist, idx = unpack_keys(keys)
     if k_eff < k:

@@ -133,15 +133,16 @@ def cfd_score(df):
             off_rows.append(s)
             row_of_pair.append(r)
     if wt_rows:
-        wt_codes = np.stack([dna.encode(s) for s in wt_rows])
-        off_codes = np.stack([dna.encode(s) for s in off_rows])
+        L = len(wt_rows[0])
+        wt_codes = dna.encode_batch(wt_rows, L)
+        off_codes = dna.encode_batch(off_rows, L)
         scores = cfd_batch(wt_codes, off_codes)
     else:
         scores = np.empty(0)
 
     per_row_scores: list = [[] for _ in range(len(df))]
-    for r, s in zip(row_of_pair, scores):
-        per_row_scores[r].append(float(s))
+    for r, s in zip(row_of_pair, scores.tolist()):
+        per_row_scores[r].append(s)
 
     max_cfds = []
     for g, sims, vals in zip(guides, sim_lists, per_row_scores):

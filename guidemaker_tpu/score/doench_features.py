@@ -61,43 +61,39 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
     atcg = _CODE_TO_ATCG[codes]                       # (n, 30) in ATCG order
     rows = np.repeat(np.arange(n), 30)
 
-    # _nuc_pd_Order1: (n, 120) one-hot, 4 cols per position
-    pd1 = np.zeros((n, 120), dtype=np.float64)
-    pd1[rows, np.tile(np.arange(30), n) * 4 + atcg.reshape(-1)] = 1.0
+    # all features are filled into one float32 matrix in place: every
+    # block is a small non-negative integer (exact in f32) except Tm,
+    # which is computed in float64 and cast once — identical to building
+    # in f64 and casting the whole matrix (what onnxruntime received)
+    out = np.zeros((n, N_FEATURES), dtype=np.float32)
 
-    # _nuc_pi_Order1: (n, 4) counts
-    pi1 = np.zeros((n, 4), dtype=np.float64)
-    np.add.at(pi1, (rows, atcg.reshape(-1)), 1.0)
+    # _nuc_pd_Order1 @ [0:120): one-hot, 4 cols per position
+    out[rows, np.tile(np.arange(30), n) * 4 + atcg.reshape(-1)] = 1.0
+
+    # _nuc_pi_Order1 @ [120:124): counts
+    np.add.at(out, (rows, 120 + atcg.reshape(-1)), 1.0)
 
     # dinucleotide index in product('ATCG', repeat=2) order
     d2 = atcg[:, :-1] * 4 + atcg[:, 1:]               # (n, 29)
     rows29 = np.repeat(np.arange(n), 29)
 
-    # _nuc_pd_Order2: (n, 464) one-hot, 16 cols per position
-    pd2 = np.zeros((n, 464), dtype=np.float64)
-    pd2[rows29, np.tile(np.arange(29), n) * 16 + d2.reshape(-1)] = 1.0
+    # _nuc_pd_Order2 @ [124:588): one-hot, 16 cols per position
+    out[rows29, 124 + np.tile(np.arange(29), n) * 16 + d2.reshape(-1)] = 1.0
 
-    # _nuc_pi_Order2: (n, 16) counts
-    pi2 = np.zeros((n, 16), dtype=np.float64)
-    np.add.at(pi2, (rows29, d2.reshape(-1)), 1.0)
+    # _nuc_pi_Order2 @ [588:604): counts
+    np.add.at(out, (rows29, 588 + d2.reshape(-1)), 1.0)
 
-    # GC features over the 20-mer [4:24]
+    # GC features over the 20-mer [4:24] @ [604:607)
     gc_count = ((codes[:, 4:24] == dna.G) | (codes[:, 4:24] == dna.C)) \
-        .sum(axis=1).astype(np.float64)
-    gc_above = (gc_count > 10).astype(np.float64)
-    gc_below = (gc_count < 10).astype(np.float64)
+        .sum(axis=1)
+    out[:, 604] = gc_count > 10
+    out[:, 605] = gc_count < 10
+    out[:, 606] = gc_count
 
-    # NGGX: one-hot of seq[24] + seq[27] in product('ACGT', repeat=2) order
+    # NGGX @ [607:623): one-hot of seq[24] + seq[27], product('ACGT') order
     nx = codes[:, 24].astype(np.int64) * 4 + codes[:, 27].astype(np.int64)
-    nggx = np.zeros((n, 16), dtype=np.float64)
-    nggx[np.arange(n), nx] = 1.0
+    out[np.arange(n), 607 + nx] = 1.0
 
-    tm4 = tm_features(codes)
-
-    out = np.concatenate([
-        pd1, pi1, pd2, pi2,
-        gc_above[:, None], gc_below[:, None], gc_count[:, None],
-        nggx, tm4,
-    ], axis=1)
-    assert out.shape[1] == N_FEATURES
+    # Tm @ [623:627)
+    out[:, 623:627] = tm_features(codes)
     return out

@@ -148,23 +148,32 @@ class TargetProcessor:
         unique_targets = self.targets.loc[mask]["target"].tolist()
         # dedup queries (dict semantics collapse duplicates anyway)
         query_seqs = list(dict.fromkeys(unique_targets))
-        dists, idxs = self.index.query(query_seqs, k=self.knum)
+        # Phase 1 — retention decision only (a counting kernel on the
+        # streaming TPU path: one VPU pass per pair instead of k merge
+        # passes).  The k-NN lists themselves are computed lazily, and
+        # only for the guides that still need them after annotation
+        # filtering (usually ~10% of the pool).
+        pass_mask = self.index.pass_distance_filter(query_seqs,
+                                                    self.editdist)
         self._neighbors_cache = None
-        if dists.shape[1] >= 2:
-            # vectorized threshold: at genome scale (>1M queries) any
-            # per-row Python/numpy loop here dominates the k-NN stage
-            passing = np.flatnonzero(
-                (dists[:, 1] >= 0) & (dists[:, 1] >= self.editdist))
-            qarr = np.asarray(query_seqs, dtype=object)
-            self._nb_pass_seqs = qarr[passing].tolist()
-            self._nb_dists = dists[passing]
-            self._nb_idxs = idxs[passing]
-        else:
-            self._nb_pass_seqs = []
-            self._nb_dists = np.empty((0, dists.shape[1]), np.int32)
-            self._nb_idxs = np.empty((0, dists.shape[1]), np.int32)
+        qarr = np.asarray(query_seqs, dtype=object)
+        self._nb_pass_seqs = qarr[pass_mask].tolist()
+        self._nb_dists = None   # lazy; see _neighbor_arrays()
+        self._nb_idxs = None
         logger.info("%d of %d queried targets passed the distance filter",
                     len(self._nb_pass_seqs), len(query_seqs))
+
+    def _neighbor_arrays(self):
+        """k-NN (dists, idxs) for all passing queries, computed on first
+        use (the raw-guides path never needs them at all)."""
+        if self._nb_dists is None:
+            if self._nb_pass_seqs:
+                self._nb_dists, self._nb_idxs = self.index.query(
+                    self._nb_pass_seqs, k=self.knum)
+            else:
+                self._nb_dists = np.empty((0, self.knum), np.int32)
+                self._nb_idxs = np.empty((0, self.knum), np.int32)
+        return self._nb_dists, self._nb_idxs
 
     # ------------------------------------------------------------------
     @property
@@ -180,11 +189,12 @@ class TargetProcessor:
         if self._neighbors_cache is None:
             import gc
             neighbor_dict: Dict = {}
-            if self._nb_dists is not None and len(self._nb_pass_seqs):
-                dlist = self._nb_dists.tolist()
-                ilist = self._nb_idxs.tolist()
+            if len(self._nb_pass_seqs):
+                nb_dists, nb_idxs = self._neighbor_arrays()
+                dlist = nb_dists.tolist()
+                ilist = nb_idxs.tolist()
                 db_seqs = self.index.seqs
-                padded = bool((self._nb_dists < 0).any())
+                padded = bool((nb_dists < 0).any())
                 gc.disable()  # ~1.4x: no cyclic garbage is created here
                 try:
                     for qi, queryseq in enumerate(self._nb_pass_seqs):
@@ -221,13 +231,18 @@ class TargetProcessor:
         (core.py:929-931) but only materializes strings for the guides
         that survive annotation filtering.
         """
-        pos = pd.Index(self._nb_pass_seqs).get_indexer(seqs)
-        if (pos < 0).any():
-            missing = [s for s, p in zip(seqs, pos) if p < 0][:3]
-            raise KeyError(f"sequences not in neighbor results: {missing}")
+        seqs = list(seqs)
+        if self._nb_dists is not None:
+            pos = pd.Index(self._nb_pass_seqs).get_indexer(seqs)
+            if (pos < 0).any():
+                missing = [s for s, p in zip(seqs, pos) if p < 0][:3]
+                raise KeyError(f"sequences not in neighbor results: {missing}")
+            d = self._nb_dists[pos]
+            i = self._nb_idxs[pos]
+        else:
+            # lazy phase 2: k-NN lists only for the guides actually kept
+            d, i = self.index.query(seqs, k=self.knum)
         db_seqs = np.asarray(self.index.seqs, dtype=object)
-        d = self._nb_dists[pos]
-        i = self._nb_idxs[pos]
         dist_strs, seq_strs = [], []
         dl, il = d.tolist(), i.tolist()
         for row_d, row_i in zip(dl, il):

@@ -87,3 +87,38 @@ def test_stream_kernel_k_exceeds_db():
     db_dev = prepare_db_codes(codes, 128)
     d, i = stream_topk_device(codes, db_dev, 3, 6, 20, db_tile=128)
     assert (d[:, 3:] == -1).all() and (i[:, 3:] == -1).all()
+
+
+def test_stream_count_matches_oracle():
+    from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
+    from guidemaker_tpu.knn.pallas_stream import stream_count_device
+    rng = np.random.default_rng(31)
+    codes = rng.integers(0, 4, size=(600, 20)).astype(np.uint8)
+    db_dev = prepare_db_codes(codes, 128)
+    for editdist in (0, 1, 3, 20):
+        counts = stream_count_device(codes[:90], db_dev, 600, editdist, 20,
+                                     db_tile=128, q_tile=32)
+        # numpy oracle over raw codes
+        dist = (codes[:90, None, :] != codes[None, :, :]).sum(axis=2)
+        oracle = (dist < editdist).sum(axis=1).astype(np.int32)
+        np.testing.assert_array_equal(counts, oracle)
+
+
+def test_pass_distance_filter_matches_query_threshold():
+    # counting path and k=2-query path must agree on retention decisions
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=(400, 20)).astype(np.uint8)
+    # inject near-duplicates so some guides fail the filter
+    codes[10] = codes[11]; codes[12] = codes[13]; codes[12, 0] ^= 1
+    seqs = dna.decode_rows(codes)
+    idx = KnnIndex(list(dict.fromkeys(seqs)), backend="xla")
+    queries = list(dict.fromkeys(seqs))
+    dists, _ = idx.query(queries, k=2)
+    expect = (dists[:, 1] >= 0) & (dists[:, 1] >= 2)
+    got = idx.pass_distance_filter(queries, 2)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pass_distance_filter_singleton_db():
+    idx = KnnIndex(["ACGTACGTACGTACGTACGT"], backend="xla")
+    assert not idx.pass_distance_filter(["ACGTACGTACGTACGTACGT"], 2).any()
