@@ -23,9 +23,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# NOTE: do NOT enable the JAX persistent compilation cache here — executable
-# serialization hangs on tunneled TPU backends (observed: a 170 s compile
-# became a >10 min stall with the cache enabled).
+# The persistent compilation cache is enabled by guidemaker_tpu.__init__;
+# kernel programs here are small and cache cleanly (an earlier hang was
+# specific to a since-removed giant unrolled tree-descent program).
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -81,7 +81,7 @@ def bench_knn(onehot, k, length, *, db_tile=1024, q_tile=512, repeats=3):
     q_tile, db_tile = ph.clamp_tiles(q_tile, db_tile)
     db_dev = ph.prepare_db_pallas(onehot, db_tile)
     q_dev = jnp.asarray(_pad_rows(ph._pad_feat(onehot), q_tile),
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.int8)
 
     # correctness + single-dispatch wall time
     t0 = time.time()
@@ -137,6 +137,9 @@ def main():
     # --- headline: C. ruddii k=3 (direct baseline exists) ---
     cr = os.path.join(REPO, "tests", "test_data", "Carsonella_ruddii.gbk.gz")
     onehot, n, _ = load_targets(cr)
+    # compiled-executable downloads ride the same relay return channel as
+    # d2h literals; compiling against a cold channel can stall for minutes
+    warm_d2h_channel(wait=True)
     t_med, t_compile = bench_knn(onehot, 3, 20)
     pairs = n * n
     log(f"  C. ruddii exact k=3: {t_med*1e3:.3f} ms steady "

@@ -31,8 +31,10 @@ if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.expanduser("~/.cache/guidemaker_tpu/jax"))
+            # cache everything: with remote-compile backends even a fast
+            # compile is a network round trip a cache hit avoids entirely
             _jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.5)
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # jax missing/misconfigured: library still imports
         pass
 

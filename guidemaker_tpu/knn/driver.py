@@ -88,6 +88,11 @@ class KnnIndex:
         """
         if len(seqs) == 0:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.int32))
+        if self.backend != "native":
+            # compiled-executable downloads and result transfers both ride
+            # the relay's return channel: never dispatch against it cold
+            from ..util import warm_d2h_channel
+            warm_d2h_channel(wait=True)
         qc = self._encode_queries(seqs)
         if self.metric != "hamming":
             return leven_topk(qc, self._codes, k)
@@ -153,6 +158,8 @@ class KnnIndex:
         if (self.metric == "hamming" and self.backend == "pallas"
                 and nd >= STREAM_THRESHOLD and editdist <= self.length):
             from .pallas_stream import stream_count_device
+            from ..util import warm_d2h_channel
+            warm_d2h_channel(wait=True)  # see query(): no cold dispatches
             if self._db_dev is None:
                 self._db_tile = min(
                     8192, max(128, 1 << int(nd - 1).bit_length()))
