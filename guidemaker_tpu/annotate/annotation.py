@@ -35,7 +35,7 @@ import yaml
 
 from ..io import parse_genbank, parse_gff, sniff_gff_type
 from ..io.gffio import parse_attributes
-from .closest import closest_join
+from .closest import _prep_features, closest_join_raw
 
 logger = logging.getLogger(__name__)
 
@@ -136,28 +136,54 @@ class Annotation:
     # ------------------------------------------------------------------
     def _get_nearby_features(self) -> None:
         """Closest feature down- and upstream of every guide (core.py:817-848)."""
+        # array-level sort + join: copying/sorting multi-million-row
+        # frames with string columns costs more than the join itself
         featurebed = self.genbank_bed_df.copy()
         featurebed["chromStart"] = featurebed["chromStart"].astype(np.int64)
         featurebed["chromEnd"] = featurebed["chromEnd"].astype(np.int64)
         featurebed = featurebed.sort_values(
             by=["chrom", "chromStart", "chromEnd"], kind="stable")
-        mapbed = self.target_bed_df.copy()
-        mapbed["chromstart"] = mapbed["chromstart"].astype(np.int64)
-        mapbed["chromend"] = mapbed["chromend"].astype(np.int64)
-        mapbed = mapbed.sort_values(
-            by=["chrom", "chromstart", "chromend"], kind="stable")
 
-        downstream = closest_join(mapbed, featurebed, "downstream")
-        downstream["direction"] = "downstream"
-        upstream = closest_join(mapbed, featurebed, "upstream")
-        upstream["direction"] = "upstream"
-        headers = {0: "Accession", 1: "Guide start", 2: "Guide end",
-                   3: "Guide sequence", 4: "Guide strand",
-                   5: "Feature Accession", 6: "Feature start",
-                   7: "Feature end", 8: "Feature id", 9: "Feature strand",
-                   10: "Feature distance"}
-        nearby = pd.concat([downstream, upstream], axis=0)
-        self.nearby = nearby.rename(columns=headers)
+        mb = self.target_bed_df
+        g_chrom = mb["chrom"].to_numpy()
+        g_start = mb["chromstart"].to_numpy(dtype=np.int64)
+        g_end = mb["chromend"].to_numpy(dtype=np.int64)
+        g_name = mb["name"].to_numpy()
+        g_strand = mb["strand"].to_numpy()
+        chrom_sorted, chrom_codes = np.unique(g_chrom, return_inverse=True)
+        order = np.lexsort((g_end, g_start, chrom_codes))
+        g_chrom, g_start, g_end, g_name, g_strand = (
+            g_chrom[order], g_start[order], g_end[order], g_name[order],
+            g_strand[order])
+
+        feats = _prep_features(featurebed)
+        downstream = closest_join_raw(g_chrom, g_start, g_end, g_name,
+                                      g_strand, feats, "downstream")
+        upstream = closest_join_raw(g_chrom, g_start, g_end, g_name,
+                                    g_strand, feats, "upstream")
+        headers = ["Accession", "Guide start", "Guide end",
+                   "Guide sequence", "Guide strand",
+                   "Feature Accession", "Feature start",
+                   "Feature end", "Feature id", "Feature strand",
+                   "Feature distance"]
+        n = len(downstream[0])
+        # one frame for both passes; low-cardinality columns categorical
+        # (pandas 3 converts str columns to Arrow arrays — doing that for
+        # millions of repeated accession/strand/feature-id values per pass
+        # dominated this stage)
+        cols = {}
+        for i, name in enumerate(headers):
+            both = np.concatenate([downstream[i], upstream[i]])
+            if i in (4, 9):   # strand columns must share categories so
+                cols[name] = pd.Categorical(both, categories=["+", "-", "."])
+            elif i in (0, 5, 8):
+                cols[name] = pd.Categorical(both)
+            else:
+                cols[name] = both
+        cols["direction"] = pd.Categorical.from_codes(
+            np.repeat([0, 1], n), categories=["downstream", "upstream"])
+        index = np.tile(np.arange(n), 2)  # concat-of-two-passes index
+        self.nearby = pd.DataFrame(cols, index=index)
 
     # ------------------------------------------------------------------
     def _filter_features(self, before_feat: int = 100,
@@ -175,25 +201,33 @@ class Annotation:
         dist = nb["Feature distance"]
         zero = dist == 0
 
-        filtered = nb[(nb["Guide strand"] == nb["Feature strand"])
-                      & (0 < dist) & (dist < before_feat)]
-        p1 = nb[gplus & fplus & zero
-                & (nb["Guide end"] - nb["Feature start"] < after_feat)]
-        p2 = nb[gminus & fminus & zero
-                & (nb["Feature end"] - nb["Guide start"] < after_feat)]
-        p3 = nb[gminus & fplus
-                & (0 < nb["Feature start"] - nb["Guide end"])
-                & (nb["Feature start"] - nb["Guide end"] < before_feat)]
-        p4 = nb[gplus & fminus
-                & (0 < nb["Guide start"] - nb["Feature end"])
-                & (nb["Guide start"] - nb["Feature end"] < before_feat)]
-        p5 = nb[gminus & fplus
-                & (0 < nb["Guide end"] - nb["Feature start"])
-                & (nb["Guide end"] - nb["Feature start"] < after_feat)]
-        p6 = nb[gplus & fminus
-                & (0 < nb["Feature end"] - nb["Guide start"])
-                & (nb["Feature end"] - nb["Guide start"] < after_feat)]
-        self.filtered_df = pd.concat([filtered, p1, p2, p3, p4, p5, p6], axis=0)
+        # row positions per clause, concatenated in the reference's
+        # concat order (duplicates preserved), then ONE take — boolean
+        # indexing a multi-million-row frame with string columns seven
+        # times dominated this stage
+        masks = [
+            (nb["Guide strand"] == nb["Feature strand"])
+            & (0 < dist) & (dist < before_feat),
+            gplus & fplus & zero
+            & (nb["Guide end"] - nb["Feature start"] < after_feat),
+            gminus & fminus & zero
+            & (nb["Feature end"] - nb["Guide start"] < after_feat),
+            gminus & fplus
+            & (0 < nb["Feature start"] - nb["Guide end"])
+            & (nb["Feature start"] - nb["Guide end"] < before_feat),
+            gplus & fminus
+            & (0 < nb["Guide start"] - nb["Feature end"])
+            & (nb["Guide start"] - nb["Feature end"] < before_feat),
+            gminus & fplus
+            & (0 < nb["Guide end"] - nb["Feature start"])
+            & (nb["Guide end"] - nb["Feature start"] < after_feat),
+            gplus & fminus
+            & (0 < nb["Feature end"] - nb["Guide start"])
+            & (nb["Feature end"] - nb["Guide start"] < after_feat),
+        ]
+        pos = np.concatenate(
+            [np.flatnonzero(m.to_numpy()) for m in masks])
+        self.filtered_df = nb.take(pos)
 
     # ------------------------------------------------------------------
     def _format_guide_table(self, targetprocessor_object) -> None:
@@ -205,8 +239,13 @@ class Annotation:
             return hashlib.md5(seq.encode()).hexdigest()
 
         pretty_df = deepcopy(self.filtered_df)
-        pretty_df = pretty_df[pretty_df["Guide sequence"].isin(
-            set(targetprocessor_object.passing_seqs()))]
+        # set-membership on host objects: Arrow isin hashes the whole
+        # million-entry passing set into an Arrow array first (~12 s)
+        pass_set = set(targetprocessor_object.passing_seqs())
+        seq_col = pretty_df["Guide sequence"].to_numpy()
+        keep = np.fromiter((s in pass_set for s in seq_col), dtype=bool,
+                           count=len(seq_col))
+        pretty_df = pretty_df[keep]
         pretty_df["GC"] = pretty_df["Guide sequence"].apply(gc)
         pretty_df["Guide name"] = pretty_df["Guide sequence"].apply(get_guide_hash)
         pretty_df["Target strand"] = np.where(
@@ -218,7 +257,14 @@ class Annotation:
         pretty_df = pd.merge(pretty_df, simframe, how="left",
                              on="Guide sequence")
 
-        targets = targetprocessor_object.targets.copy()
+        targets = targetprocessor_object.targets
+        # slim the right side to retained guides before the 4-key merge:
+        # factorizing millions of unmatched string keys dominates merge()
+        need_set = set(need.tolist())
+        t_seqs = targets["target"].to_numpy()
+        t_keep = np.fromiter((s in need_set for s in t_seqs), dtype=bool,
+                             count=len(t_seqs))
+        targets = targets[t_keep].copy()
         targets["start"] = targets["start"].astype(np.int64)
         targets["stop"] = targets["stop"].astype(np.int64)
         targets["seqid"] = targets["seqid"].astype(str)

@@ -56,25 +56,33 @@ def _prep_features(fdf: pd.DataFrame):
     return out
 
 
-def closest_join(guides: pd.DataFrame, features: pd.DataFrame,
-                 direction: str) -> pd.DataFrame:
+def closest_join_arrays(guides: pd.DataFrame, features: pd.DataFrame,
+                        direction: str) -> dict:
     """One bedtools-closest pass; ``direction`` is "downstream" or "upstream".
 
     ``guides``: chrom, chromstart, chromend, name, strand (+/-).
     ``features``: chrom, chromStart, chromEnd, name, strand.
-    Returns one row per guide with 11 unnamed columns (0..10) matching the
-    reference's ``to_dataframe(disable_auto_names=True, header=None)`` shape.
+    Returns the 11 result columns (0..10) as a dict of numpy arrays —
+    callers assemble DataFrames themselves (constructing string-backed
+    pandas columns is the dominant cost at genome scale, so it is done
+    once, not per pass).
     """
-    assert direction in ("downstream", "upstream")
-    want_down = direction == "downstream"
-    feats = _prep_features(features)
+    assert direction in ("upstream", "downstream")
+    return closest_join_raw(
+        guides["chrom"].to_numpy(),
+        guides["chromstart"].to_numpy(dtype=np.int64),
+        guides["chromend"].to_numpy(dtype=np.int64),
+        guides["name"].to_numpy(),
+        guides["strand"].to_numpy(),
+        _prep_features(features), direction)
 
-    n = len(guides)
-    g_chrom = guides["chrom"].to_numpy()
-    g_start = guides["chromstart"].to_numpy(dtype=np.int64)
-    g_end = guides["chromend"].to_numpy(dtype=np.int64)
-    g_name = guides["name"].to_numpy()
-    g_strand = guides["strand"].to_numpy()
+
+def closest_join_raw(g_chrom, g_start, g_end, g_name, g_strand,
+                     feats: Dict[str, dict], direction: str) -> dict:
+    """Array-level closest pass: guides as (sorted) numpy columns,
+    features pre-prepared by :func:`_prep_features`."""
+    want_down = direction == "downstream"
+    n = g_chrom.shape[0]
 
     f_acc = np.full(n, ".", dtype=object)
     f_start = np.full(n, -1, dtype=np.int64)
@@ -133,7 +141,14 @@ def closest_join(guides: pd.DataFrame, features: pd.DataFrame,
         f_strand[hit] = fc["strands"][jj]
         f_dist[hit] = chosen_dist[chosen_has]
 
-    return pd.DataFrame({
-        0: g_chrom, 1: g_start, 2: g_end, 3: g_name, 4: g_strand,
-        5: f_acc, 6: f_start, 7: f_end, 8: f_id, 9: f_strand, 10: f_dist,
-    })
+    return {0: g_chrom, 1: g_start, 2: g_end, 3: g_name, 4: g_strand,
+            5: f_acc, 6: f_start, 7: f_end, 8: f_id, 9: f_strand,
+            10: f_dist}
+
+
+def closest_join(guides: pd.DataFrame, features: pd.DataFrame,
+                 direction: str) -> pd.DataFrame:
+    """DataFrame form of :func:`closest_join_arrays`: one row per guide
+    with 11 unnamed columns (0..10) matching the reference's
+    ``to_dataframe(disable_auto_names=True, header=None)`` shape."""
+    return pd.DataFrame(closest_join_arrays(guides, features, direction))
