@@ -155,6 +155,21 @@ class KnnIndex:
         if nd < 2:
             # reference semantics: dists[1] is padding (-1) -> nothing passes
             return np.zeros(len(seqs), dtype=bool)
+        if (self.metric == "hamming" and self.backend == "sharded"
+                and editdist <= self.length):
+            from ..distributed import auto_mesh
+            from .sharded import sharded_hamming_count
+            if self._db_dev is None:
+                self._db_dev = auto_mesh()
+            q_oh = dna.one_hot_matrix(self._encode_queries(seqs),
+                                      dtype=np.float32)
+            counts = sharded_hamming_count(q_oh, self._onehot, editdist,
+                                           self.length, mesh=self._db_dev)
+            # dists[1] >= editdist  <=>  count(dist < editdist) <= 1: for
+            # editdist > 0 the self-hit always contributes exactly 1; for
+            # editdist == 0 nothing does and every query passes (matching
+            # the reference threshold, which is vacuous at 0)
+            return counts <= 1
         if (self.metric == "hamming" and self.backend == "pallas"
                 and nd >= STREAM_THRESHOLD and editdist <= self.length):
             from .pallas_stream import stream_count_device
@@ -177,7 +192,11 @@ class KnnIndex:
                                              self.length,
                                              db_tile=self._db_tile,
                                              q_tile=256)
-            return counts == 1
+            # dists[1] >= editdist  <=>  count(dist < editdist) <= 1: for
+            # editdist > 0 the self-hit always contributes exactly 1; for
+            # editdist == 0 nothing does and every query passes (matching
+            # the reference threshold, which is vacuous at 0)
+            return counts <= 1
         dists, _ = self.query(seqs, k=2)
         return (dists[:, 1] >= 0) & (dists[:, 1] >= editdist)
 

@@ -109,7 +109,7 @@ def _count_kernel(q_ref, db_hbm, out_ref, db_buf, sems, *,
 
     One VPU pass per (q, db) pair instead of the top-k merge's k passes:
     the distance-filter decision (core.py:509-522) only needs
-    ``count(dist < editdist) == 1`` when the query itself is in the
+    ``count(dist < editdist) <= 1`` when the query itself is in the
     (deduplicated) database — self is the unique dist-0 hit.  Padding
     rows (all-zero one-hot) have dist == length >= editdist, so they are
     never counted (the driver rejects editdist > length up front).

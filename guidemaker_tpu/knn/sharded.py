@@ -110,6 +110,87 @@ def sharded_topk_step(mesh: Mesh, *, k: int, length: int, db_tile: int):
     return jax.jit(step)
 
 
+def _local_count(q_oh, db_shard, db_valid, *, editdist, length, db_tile):
+    """Per-device count of this shard's entries with dist < editdist."""
+    n_tiles = db_shard.shape[0] // db_tile
+    tq = q_oh.shape[0]
+    init = jnp.zeros((tq,), dtype=jnp.int32)
+    try:
+        init = jax.lax.pcast(init, ("q", "d"), to="varying")
+    except (AttributeError, TypeError):
+        init = jax.lax.pvary(init, ("q", "d"))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, db_tile), 1)
+    thresh = jnp.float32(length - editdist)
+
+    def body(cnt, t):
+        tile = jax.lax.dynamic_slice_in_dim(db_shard, t * db_tile, db_tile)
+        matches = jnp.dot(q_oh, tile.T, preferred_element_type=jnp.float32)
+        lidx = t * db_tile + lane
+        hit = (matches > thresh) & (lidx < db_valid)
+        return cnt + jnp.sum(hit.astype(jnp.int32), axis=1), None
+
+    cnt, _ = jax.lax.scan(body, init, jnp.arange(n_tiles, dtype=jnp.int32))
+    return cnt
+
+
+def sharded_count_step(mesh: Mesh, *, editdist: int, length: int,
+                       db_tile: int):
+    """Jitted multi-device retention counter: partial counts per db shard,
+    summed with one ``psum`` over the ``d`` axis (counts are additive
+    across shards — no top-k merge needed)."""
+    try:
+        from jax import shard_map
+        smap = functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("q", None), P("d", None), P("d")),
+            out_specs=P("q"), check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        smap = functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("q", None), P("d", None), P("d")),
+            out_specs=P("q"), check_rep=False)
+
+    @smap
+    def step(q_oh, db_shard, db_valid):
+        local = _local_count(q_oh, db_shard, db_valid[0],
+                             editdist=editdist, length=length,
+                             db_tile=db_tile)
+        return jax.lax.psum(local, "d")
+
+    return jax.jit(step)
+
+
+def sharded_hamming_count(q_onehot: np.ndarray, db_onehot: np.ndarray,
+                          editdist: int, length: int, *,
+                          mesh: Optional[Mesh] = None,
+                          db_tile: int = 2048) -> np.ndarray:
+    """(nq,) int32 counts of database entries with dist < editdist,
+    database sharded over the ``d`` mesh axis, queries over ``q``."""
+    if mesh is None:
+        mesh = make_mesh(1, len(jax.devices()))
+    q_shards, d_shards = mesh.devices.shape
+
+    nq, nd = q_onehot.shape[0], db_onehot.shape[0]
+    db_tile = min(db_tile, max(128, -(-nd // d_shards)))
+    per_shard = -(-nd // (d_shards * db_tile)) * db_tile
+    db_pad = _pad_rows(db_onehot, per_shard * d_shards)[: per_shard * d_shards]
+    offsets = np.arange(d_shards, dtype=np.int32) * per_shard
+    valid = np.minimum(np.maximum(nd - offsets, 0), per_shard).astype(np.int32)
+    q_pad = _pad_rows(q_onehot, q_shards)
+
+    step = sharded_count_step(mesh, editdist=editdist, length=length,
+                              db_tile=db_tile)
+    q_sh = jax.device_put(jnp.asarray(q_pad, dtype=jnp.bfloat16),
+                          NamedSharding(mesh, P("q", None)))
+    db_sh = jax.device_put(jnp.asarray(db_pad, dtype=jnp.bfloat16),
+                           NamedSharding(mesh, P("d", None)))
+    valid_sh = jax.device_put(jnp.asarray(valid),
+                              NamedSharding(mesh, P("d")))
+    from ..util import fetch
+    return fetch(step(q_sh, db_sh, valid_sh))[:nq]
+
+
 def sharded_hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray,
                          k: int, length: int, *,
                          mesh: Optional[Mesh] = None,

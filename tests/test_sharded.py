@@ -66,3 +66,20 @@ def test_mesh_shape_does_not_change_results():
     for d2, i2 in results[1:]:
         np.testing.assert_array_equal(results[0][0], d2)
         np.testing.assert_array_equal(results[0][1], i2)
+
+
+def test_sharded_count_matches_oracle():
+    import numpy as np
+    from guidemaker_tpu import dna
+    from guidemaker_tpu.knn.sharded import make_mesh, sharded_hamming_count
+    import jax
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, size=(500, 20)).astype(np.uint8)
+    codes[3] = codes[4]; codes[4, 0] ^= 1
+    oh = dna.one_hot_matrix(codes)
+    dist = (codes[:, None, :] != codes[None, :, :]).sum(axis=2)
+    for q_s, d_s in ((2, 4), (1, 8), (4, 2)):
+        mesh = make_mesh(q_s, d_s, devices=jax.devices()[:q_s * d_s])
+        for e in (1, 2, 5):
+            counts = sharded_hamming_count(oh, oh, e, 20, mesh=mesh)
+            np.testing.assert_array_equal(counts, (dist < e).sum(axis=1))
