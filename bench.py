@@ -152,11 +152,33 @@ def main():
         pa = os.path.join(REPO, "guidemaker_tpu", "data",
                           "Pseudomonas_aeruginosa.gbk.gz")
         if os.path.exists(pa) and os.environ.get("BENCH_BIG") == "1":
+            from guidemaker_tpu import dna
+            from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
+            from guidemaker_tpu.knn.pallas_stream import stream_count_device
+            from guidemaker_tpu.knn.pallas_stream import stream_topk_device
             oh2, n2, bp2 = load_targets(pa)
-            t2, c2 = bench_knn(oh2, 3, 20, repeats=1)
-            log(f"  P. aeruginosa exact k=3: {t2:.2f} s steady "
-                f"({c2:.1f}s first call), {n2*n2/t2/1e12:.2f} T pairs/s, "
-                f"{n2*n2*80*2/t2/1e12:.1f} TFLOP/s effective")
+            cd = np.argmax(oh2.reshape(n2, 20, 4), axis=2).astype(np.uint8)
+            dbb = prepare_db_codes(cd, 8192)
+            # retention counting kernel, all-vs-all with db reuse — the
+            # pipeline's genome-wide pass
+            args = dict(db_tile=8192, q_tile=256, q_dev=dbb,
+                        nq=int(dbb.shape[0]))
+            stream_count_device(None, dbb, n2, 2, 20, **args)  # compile
+            t0 = time.time()
+            stream_count_device(None, dbb, n2, 2, 20, **args)
+            tc = time.time() - t0
+            log(f"  P. aeruginosa retention count (all-vs-all): "
+                f"{tc:.2f} s e2e, {n2*n2/tc/1e12:.2f} T pairs/s")
+            # streaming top-k for a post-annotation-sized query subset
+            nsub = 131072
+            stream_topk_device(cd[:nsub], dbb, n2, 3, 20,
+                               db_tile=8192, q_tile=256)  # compile
+            t0 = time.time()
+            stream_topk_device(cd[:nsub], dbb, n2, 3, 20,
+                               db_tile=8192, q_tile=256)
+            tk = time.time() - t0
+            log(f"  P. aeruginosa top-3 for {nsub} retained guides: "
+                f"{tk:.2f} s e2e, {nsub*n2/tk/1e12:.2f} T pairs/s")
     except Exception as e:  # scaling run is informative, not the metric
         log(f"  big-genome run skipped: {e!r}")
 
