@@ -117,19 +117,34 @@ def _tree_leaf_nodes_split(x_u8, x_f32, col_perm, feature, threshold,
 BATCH_TILE = 32768
 
 
-def ensemble_predict(ens: TreeEnsemble, features: np.ndarray) -> np.ndarray:
-    """Evaluate the ensemble; returns (B, 1) float32 like onnxruntime."""
+def ensemble_predict(ens: TreeEnsemble, features: np.ndarray,
+                     int_col: Optional[np.ndarray] = None) -> np.ndarray:
+    """Evaluate the ensemble; returns (B, 1) float32 like onnxruntime.
+
+    ``int_col`` (bool per column) marks columns exactly representable as
+    uint8; when the caller knows the feature layout (``predict`` passes
+    ``doench_features.INT_FEATURE_MASK``) this skips a full verification
+    pass over the feature matrix.
+    """
     f32 = np.ascontiguousarray(features, dtype=np.float32)
     n = f32.shape[0]
 
     # column split: small-integer columns travel as uint8
-    as_u8 = f32.astype(np.uint8)
-    int_col = (as_u8.astype(np.float32) == f32).all(axis=0)
+    if int_col is None:
+        as_u8 = f32.astype(np.uint8)
+        int_col = (as_u8.astype(np.float32) == f32).all(axis=0)
+        u8_full = as_u8
+    else:
+        int_col = np.asarray(int_col, dtype=bool)
+        u8_full = None
     u8_cols = np.flatnonzero(int_col)
     f_cols = np.flatnonzero(~int_col)
     order = np.concatenate([u8_cols, f_cols])
     col_perm = jnp.asarray(np.argsort(order).astype(np.int32))
-    u8_block = np.ascontiguousarray(as_u8[:, u8_cols])
+    if u8_full is not None:
+        u8_block = np.ascontiguousarray(u8_full[:, u8_cols])
+    else:
+        u8_block = f32[:, u8_cols].astype(np.uint8)
     f_block = np.ascontiguousarray(f32[:, f_cols])
 
     tree_args = (jnp.asarray(ens.feature), jnp.asarray(ens.threshold),
@@ -184,7 +199,8 @@ def predict(seq: np.ndarray, model_file: Optional[str] = None,
             json.load(f)  # accepted for API parity; all feature sets are built
     ens = load_ensemble(model_file)
     feats = featurize(list(seq), pam_audit=pam_audit)
-    return ensemble_predict(ens, feats)
+    from .doench_features import INT_FEATURE_MASK
+    return ensemble_predict(ens, feats, int_col=INT_FEATURE_MASK)
 
 
 def get_doench_efficiency_score(df, pam_orientation, num_threads=1):

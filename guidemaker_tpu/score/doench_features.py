@@ -34,6 +34,13 @@ from .tm import tm_features
 
 N_FEATURES = 627
 
+#: which of the 627 feature columns are small non-negative integers
+#: (everything except the 4 Tm columns at [623:627)) — lets the tree
+#: evaluator ship them device-ward as uint8 without re-deriving it from
+#: the data (a full pass over the feature matrix)
+INT_FEATURE_MASK = np.ones(N_FEATURES, dtype=bool)
+INT_FEATURE_MASK[623:] = False
+
 #: ACGT code -> index in 'ATCG' ordering (A=0, T=1, C=2, G=3).
 _CODE_TO_ATCG = np.array([0, 2, 3, 1], dtype=np.int64)
 
