@@ -114,3 +114,23 @@ def test_neighbors_or_filter_quirk(configpath):
     tl.get_neighbors(configpath=configpath)
     # with editdist=0 every queried target passes; dedup means 2 unique keys
     assert len(tl.neighbors) == 2
+
+
+def test_lazy_neighbors_dict_matches_neighbor_frame(configpath):
+    # the lazily-built reference-shaped dict and the vectorized
+    # neighbor_frame must agree on every passing guide
+    targets = _fixture_targets()
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=1, knum=2)
+    tl.check_restriction_enzymes([])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    seqs = tl.passing_seqs()
+    assert seqs, "fixture should have passing guides"
+    frame = tl.neighbor_frame(seqs)
+    nd = tl.neighbors  # materializes the dict lazily
+    for _, row in frame.iterrows():
+        entry = nd[row["Guide sequence"]]["neighbors"]
+        assert row["Similar guides"] == ";".join(entry["seqs"])
+        assert row["Similar guide distances"] == ";".join(
+            str(d) for d in entry["dist"])
