@@ -50,7 +50,9 @@ from . import doench_predict
 from . import cfd_score_calculator
 from . import doench_featurization
 
-__version__ = "0.1.0"
+# single source of truth for the package version: pyproject.toml reads
+# this attribute dynamically ([tool.setuptools.dynamic])
+__version__ = "0.2.0"
 
 __all__ = [
     "PamTarget", "TargetProcessor", "Annotation",

@@ -175,7 +175,12 @@ class Annotation:
         for i, name in enumerate(headers):
             both = np.concatenate([downstream[i], upstream[i]])
             if i in (4, 9):   # strand columns must share categories so
-                cols[name] = pd.Categorical(both, categories=["+", "-", "."])
+                # the filters compare across frames; GFF also allows '?'
+                # (or arbitrary text) — union observed values in so
+                # nothing is silently coerced to NaN
+                strand_cats = ["+", "-", "."] + sorted(
+                    set(np.unique(both)) - {"+", "-", "."})
+                cols[name] = pd.Categorical(both, categories=strand_cats)
             elif i in (0, 5, 8):
                 cols[name] = pd.Categorical(both)
             else:

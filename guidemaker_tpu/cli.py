@@ -88,6 +88,9 @@ def myparser() -> argparse.ArgumentParser:
                              + str(guidemaker_tpu.CONFIG_PATH))
     parser.add_argument('--cpu', action='store_true',
                         help='Force the JAX CPU backend (skip TPU).')
+    parser.add_argument('--seed', type=int, default=None,
+                        help='Random seed for control-guide sampling '
+                             '(default: unseeded, like the reference).')
     parser.add_argument('--profile', default=None, metavar='DIR',
                         help='Write a JAX profiler trace of the k-NN stage to DIR.')
     parser.add_argument('-V', '--version', action='version',
@@ -137,7 +140,8 @@ def main(arglist: list = None) -> None:
         doench_efficiency_score=args.doench_efficiency_score,
         cfd_score=args.cfd_score, raw_output_only=args.raw_output_only,
         plot=args.plot, keeptemp=args.keeptemp, tempdir=args.tempdir,
-        outdir=args.outdir, config=args.config, profile=args.profile)
+        outdir=args.outdir, config=args.config, profile=args.profile,
+        seed=args.seed)
     try:
         cfg.validate()
     except AssertionError as err:

@@ -62,6 +62,21 @@ class KnnIndex:
         self._codes = codes.astype(np.uint8)
         self._db_dev = None   # device-resident padded database (lazy)
         self._db_tile = None
+        self._seqset = None   # frozenset(self.seqs), built on first use
+
+    def _counting_filter_valid(self, seqs: Sequence[str]) -> bool:
+        """True iff the counting retention shortcut is exact for these
+        queries: the database must be duplicate-free and every query a
+        member (so the self-hit contributes exactly one count).  Non-member
+        queries or duplicated database entries fall back to the k=2 path,
+        which implements the general semantics."""
+        if self._seqset is None:
+            self._seqset = frozenset(self.seqs)
+        if len(self._seqset) != len(self.seqs):
+            return False
+        if len(seqs) == len(self.seqs) and list(seqs) == self.seqs:
+            return True
+        return all(s in self._seqset for s in seqs)
 
     @property
     def _onehot(self) -> np.ndarray:
@@ -155,8 +170,9 @@ class KnnIndex:
         if nd < 2:
             # reference semantics: dists[1] is padding (-1) -> nothing passes
             return np.zeros(len(seqs), dtype=bool)
+        counting_ok = self._counting_filter_valid(seqs)
         if (self.metric == "hamming" and self.backend == "sharded"
-                and editdist <= self.length):
+                and editdist <= self.length and counting_ok):
             from ..distributed import auto_mesh
             from .sharded import sharded_hamming_count
             if self._db_dev is None:
@@ -171,7 +187,8 @@ class KnnIndex:
             # the reference threshold, which is vacuous at 0)
             return counts <= 1
         if (self.metric == "hamming" and self.backend == "pallas"
-                and nd >= STREAM_THRESHOLD and editdist <= self.length):
+                and nd >= STREAM_THRESHOLD and editdist <= self.length
+                and counting_ok):
             from .pallas_stream import stream_count_device
             from ..util import warm_d2h_channel
             warm_d2h_channel(wait=True)  # see query(): no cold dispatches

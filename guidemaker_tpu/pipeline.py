@@ -55,6 +55,7 @@ class PipelineConfig:
     plot: bool = False
     keeptemp: bool = False
     profile: Optional[str] = None   # JAX profiler trace directory
+    seed: Optional[int] = None      # control-sampling seed (None=unseeded)
     tempdir: Optional[str] = None
     outdir: str = "."
     config: str = definitions.CONFIG_PATH
@@ -198,7 +199,7 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
                 cmin, cmed, randomdf = tl.get_control_seqs(
                     parse_fasta(fastapath), configpath=cfg.config,
                     length=cfg.guidelength, n=cfg.controls,
-                    num_threads=cfg.threads)
+                    num_threads=cfg.threads, seed=cfg.seed)
             result.controls = randomdf
             result.control_min_dist = cmin
             result.control_median_dist = cmed

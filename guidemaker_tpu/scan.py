@@ -71,11 +71,6 @@ def _extract_rows(codes: np.ndarray, starts: np.ndarray, length: int) -> np.ndar
     return np.lib.stride_tricks.sliding_window_view(codes, length)[starts]
 
 
-def _py_slice(seq: str, a: int, b: int) -> str:
-    """seq[a:b] with Python's negative-index semantics (reference quirk)."""
-    return seq[a:b]
-
-
 class PamTarget:
     """A PAM motif plus methods to enumerate all matching targets.
 
@@ -123,6 +118,20 @@ class PamTarget:
                     frames.append(df)
 
         frames = [f for f in frames if not f.empty]
+        if not frames:
+            # zero PAM hits anywhere (the reference builds per-strand
+            # frames unconditionally and survives): return an empty frame
+            # with the full schema instead of crashing in pd.concat
+            frames = [pd.DataFrame({
+                "target": pd.Series(dtype="str"),
+                "exact_pam": pd.Series(dtype="str"),
+                "start": pd.Series(dtype="uint32"),
+                "stop": pd.Series(dtype="uint32"),
+                "strand": pd.Series(dtype="bool"),
+                "pam_orientation": pd.Series(dtype="bool"),
+                "target_seq30": pd.Series(dtype="str"),
+                "seqid": pd.Series(dtype="str"),
+            })]
         df_targets = pd.concat(frames, ignore_index=True)
         df_targets = df_targets.astype(
             {"target": "str", "exact_pam": "category", "start": "uint32",
@@ -201,11 +210,13 @@ class PamTarget:
             has_inv[ctx_ok] = (inv_prefix[np.minimum(c_hi[ctx_ok], n)]
                                - inv_prefix[lo[ctx_ok]]) > 0
             for i in np.nonzero(ctx_ok & has_inv)[0]:
-                raw = _py_slice(seq, int(c_lo[i]), int(c_hi[i]))
+                raw = seq[int(c_lo[i]):int(c_hi[i])]
                 ctx30[i] = (dna.reverse_complement(raw)
                             if not strand_fwd else raw)
         for i in np.nonzero(~ctx_ok)[0]:
-            raw = _py_slice(seq, int(c_lo[i]), int(c_hi[i]))
+            # Python slice semantics incl. the negative-index quirk at
+            # contig edges (reference core.py:156,184,210,237)
+            raw = seq[int(c_lo[i]):int(c_hi[i])]
             if not strand_fwd:
                 raw = dna.reverse_complement(raw)
             ctx30[i] = raw

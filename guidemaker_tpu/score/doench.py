@@ -71,16 +71,17 @@ def _tree_leaf_weights(x, feature, threshold, children, is_leaf, value,
     return value[tree_ix, node]
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
+@functools.partial(jax.jit, static_argnames=("max_depth", "wide_ids"))
 def _tree_leaf_nodes(x, feature, threshold, children, is_leaf,
-                     *, max_depth: int):
+                     *, max_depth: int, wide_ids: bool = False):
     """Per-(sequence, tree) *leaf node id* after descending the trees.
 
-    Returned as int8 (node ids < 128 always for these shallow trees):
-    the id matrix is small and low-entropy, so the device→host transfer
-    is cheap even through tunneled transports, unlike the float32 leaf
-    value matrix.  The host maps ids to values and accumulates in exact
-    tree order.
+    Returned as int8 when every node id fits (<128 nodes/tree — true for
+    the bundled 15-node model), else int16 (``wide_ids``, chosen by the
+    caller from ``feature.shape[1]``): the id matrix is small and
+    low-entropy, so the device→host transfer is cheap even through
+    tunneled transports, unlike the float32 leaf value matrix.  The host
+    maps ids to values and accumulates in exact tree order.
     """
     n_trees = feature.shape[0]
     batch = x.shape[0]
@@ -95,12 +96,13 @@ def _tree_leaf_nodes(x, feature, threshold, children, is_leaf,
         nxt = jnp.where(go_true, children[tree_ix, node, 0],
                         children[tree_ix, node, 1])
         node = jnp.where(leaf, node, nxt)
-    return node.astype(jnp.int8)
+    return node.astype(jnp.int16 if wide_ids else jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
+@functools.partial(jax.jit, static_argnames=("max_depth", "wide_ids"))
 def _tree_leaf_nodes_split(x_u8, x_f32, col_perm, feature, threshold,
-                           children, is_leaf, *, max_depth: int):
+                           children, is_leaf, *, max_depth: int,
+                           wide_ids: bool = False):
     """`_tree_leaf_nodes` over a compactly-transferred feature matrix:
     integer-valued columns ship as uint8 (low-entropy, 4x smaller) and the
     remaining float columns as float32; `col_perm` restores column order.
@@ -108,7 +110,8 @@ def _tree_leaf_nodes_split(x_u8, x_f32, col_perm, feature, threshold,
     x = jnp.concatenate(
         [x_u8.astype(jnp.float32), x_f32], axis=1)[:, col_perm]
     return _tree_leaf_nodes.__wrapped__(
-        x, feature, threshold, children, is_leaf, max_depth=max_depth)
+        x, feature, threshold, children, is_leaf, max_depth=max_depth,
+        wide_ids=wide_ids)
 
 
 #: batch tile for tree descent: fixed shapes make the (slow, remote)
@@ -128,6 +131,11 @@ def ensemble_predict(ens: TreeEnsemble, features: np.ndarray,
     """
     f32 = np.ascontiguousarray(features, dtype=np.float32)
     n = f32.shape[0]
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float32)
+    # node ids ship as int8 only when they cannot wrap (>127-node trees
+    # from arbitrary user .onnx files fall back to int16)
+    wide_ids = ens.feature.shape[1] > 127
 
     # column split: small-integer columns travel as uint8
     if int_col is None:
@@ -164,7 +172,7 @@ def ensemble_predict(ens: TreeEnsemble, features: np.ndarray,
             fc = np.pad(fc, ((0, pad), (0, 0)))
         chunks.append(_tree_leaf_nodes_split(
             jnp.asarray(u8c), jnp.asarray(fc), col_perm, *tree_args,
-            max_depth=ens.max_depth))
+            max_depth=ens.max_depth, wide_ids=wide_ids))
     nodes = np.concatenate([np.asarray(c) for c in chunks],
                            axis=0)[:n].astype(np.intp)       # (B, T)
     w = ens.value[np.arange(n_trees)[None, :], nodes]        # (B, T) f32

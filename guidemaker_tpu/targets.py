@@ -218,6 +218,10 @@ class TargetProcessor:
     def neighbors(self, value: Dict) -> None:
         self._neighbors_cache = value
         self._nb_pass_seqs = list(value.keys())
+        # drop materialized arrays: they are indexed by the old key order
+        # and would otherwise serve stale rows from neighbor_frame
+        self._nb_dists = None
+        self._nb_idxs = None
 
     def passing_seqs(self) -> List[str]:
         """Query sequences that passed the distance filter (dict keys)."""
@@ -270,7 +274,7 @@ class TargetProcessor:
     # ------------------------------------------------------------------
     def get_control_seqs(self, seq_record_iter, configpath: str,
                          length: int = 20, n: int = 10,
-                         num_threads: int = 2):
+                         num_threads: int = 2, seed: Optional[int] = None):
         """Random non-targeting controls maximally distant from the genome.
 
         Replicates core.py:545-633: sample with genome GC composition,
@@ -279,7 +283,8 @@ class TargetProcessor:
         ``CONTROL_SEARCH_MULTIPLE`` until the minimum distance reaches
         ``MINIMUM_HMDIST``.  Raises IndexError when the ladder is
         exhausted (and, unlike the reference, *returns* on success at the
-        final rung).
+        final rung).  ``seed`` makes the sampling reproducible (the
+        reference is unseeded; ``None`` keeps that behavior).
         """
         with open(configpath) as cf:
             config = yaml.safe_load(cf)
@@ -296,7 +301,7 @@ class TargetProcessor:
         self.gc_percent = gc * 100
         self.genomesize = totlen / (1024 * 1024)
 
-        rng = np.random.default_rng()
+        rng = np.random.default_rng(seed)
         bases = np.array([2, 1, 0, 3], dtype=np.uint8)  # G, C, A, T codes
         probs = [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2]
 

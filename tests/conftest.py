@@ -3,17 +3,43 @@
 Tests must run without TPU hardware; multi-device sharding tests use
 ``--xla_force_host_platform_device_count`` (SURVEY.md §4).  This must happen
 before the first ``jax`` backend initialization.
+
+Hardware tier: ``GUIDEMAKER_TPU_HW=1 pytest -m tpu`` keeps the real backend
+and runs only the ``@pytest.mark.tpu`` tests (Pallas kernels compiled for
+the actual chip instead of ``interpret=True``).
 """
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+TPU_HW = os.environ.get("GUIDEMAKER_TPU_HW") == "1"
+
+if not TPU_HW:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_HW:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_HW:
+        # hardware runs execute ONLY the tpu tier (everything else was
+        # already validated on the CPU mesh; mixing backends in one
+        # process is not supported)
+        skip_cpu = pytest.mark.skip(reason="GUIDEMAKER_TPU_HW=1: tpu tier only")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip_cpu)
+    else:
+        skip_tpu = pytest.mark.skip(
+            reason="needs real TPU (set GUIDEMAKER_TPU_HW=1)")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip_tpu)
 
 TEST_DIR = os.path.dirname(os.path.abspath(__file__))
 TEST_DATA = os.path.join(TEST_DIR, "test_data")

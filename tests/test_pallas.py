@@ -122,3 +122,41 @@ def test_pass_distance_filter_matches_query_threshold():
 def test_pass_distance_filter_singleton_db():
     idx = KnnIndex(["ACGTACGTACGTACGTACGT"], backend="xla")
     assert not idx.pass_distance_filter(["ACGTACGTACGTACGTACGT"], 2).any()
+
+
+def test_pass_distance_filter_nonmember_queries_fall_back():
+    """Non-member queries must take the general k=2 path: a non-member
+    with exactly one close neighbor in the db would wrongly pass the
+    counting shortcut (its 'self-hit' is absent)."""
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=(300, 20)).astype(np.uint8)
+    seqs = list(dict.fromkeys(dna.decode_rows(codes)))
+    # non-member query at distance 1 from db entry 0
+    qcodes = dna.encode(seqs[0]).copy()
+    qcodes[0] ^= 1
+    q = dna.decode_rows(qcodes[None, :])[0]
+    assert q not in set(seqs)
+    for backend in ("xla", "sharded"):
+        idx = KnnIndex(seqs, backend=backend)
+        got = idx.pass_distance_filter([q, seqs[1]], 2)
+        dists, _ = idx.query([q, seqs[1]], k=2)
+        expect = (dists[:, 1] >= 0) & (dists[:, 1] >= 2)
+        np.testing.assert_array_equal(got, expect)
+        # the planted near-duplicate pair: nearest hit is dist 1 -> via the
+        # general semantics dists[0]=1 (not self), dists[1] decides
+        assert got[0] == expect[0]
+
+
+def test_pass_distance_filter_duplicated_db_falls_back():
+    """A database containing duplicate strings breaks the counting
+    invariant (self-hit count 2); driver must detect and fall back."""
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=(200, 20)).astype(np.uint8)
+    seqs = list(dict.fromkeys(dna.decode_rows(codes)))
+    dup_seqs = seqs + [seqs[0]]  # duplicate entry
+    idx = KnnIndex(dup_seqs, backend="sharded")
+    got = idx.pass_distance_filter(dup_seqs[:50], 2)
+    dists, _ = idx.query(dup_seqs[:50], k=2)
+    expect = (dists[:, 1] >= 0) & (dists[:, 1] >= 2)
+    np.testing.assert_array_equal(got, expect)
+    assert not got[0]  # the duplicated guide has a 0-distance neighbor

@@ -152,3 +152,17 @@ def test_short_contig_yields_no_targets_no_crash():
     df = pamobj.find_targets(
         [SeqRecord("tiny", "AGG"), SeqRecord("ok", "T" * 25 + "AGGAA")], 20)
     assert (df["seqid"] == "ok").all()
+
+
+def test_find_targets_zero_hits_returns_empty_frame():
+    """A genome with no PAM matches returns an empty, fully-typed frame
+    (the reference survives via unconditional per-strand frames)."""
+    pamobj = PamTarget("NGG", "5prime", "hamming")
+    df = pamobj.find_targets([SeqRecord("empty", "ATATATATATATATATAT")],
+                             target_len=6)
+    assert len(df) == 0
+    for col in ("target", "exact_pam", "start", "stop", "strand",
+                "pam_orientation", "target_seq30", "seqid", "seedseq",
+                "hasrestrictionsite", "isseedduplicated", "dtype"):
+        assert col in df.columns
+    assert df["start"].dtype == np.uint32

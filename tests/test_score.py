@@ -138,3 +138,34 @@ def test_featurize_data_shim_blocks():
     flat = np.hstack([v.to_numpy() for v in fs.values()])
     np.testing.assert_array_equal(
         flat, featurize(["GTACAAAGCACGTTATTAGATGGTGGGAAC"]))
+
+
+def test_ensemble_predict_empty_batch():
+    ens = doench_mod.load_ensemble()
+    out = doench_mod.ensemble_predict(ens, np.zeros((0, N_FEATURES)))
+    assert out.shape == (0, 1) and out.dtype == np.float32
+
+
+def test_ensemble_predict_wide_trees_no_int8_wrap():
+    """Trees with >127 nodes must not wrap node ids through int8."""
+    from guidemaker_tpu.score.onnx_tree import TreeEnsemble
+    # one left-spine tree with 201 nodes: internal node i -> (i+1, i+2),
+    # feature 0 threshold descending so x=0 descends the left spine to a
+    # deep leaf whose id (>127) would wrap as int8
+    n_nodes = 201
+    feature = np.zeros((1, n_nodes), dtype=np.int32)
+    threshold = np.full((1, n_nodes), -1.0, dtype=np.float32)
+    children = np.zeros((1, n_nodes, 2), dtype=np.int32)
+    is_leaf = np.zeros((1, n_nodes), dtype=bool)
+    value = np.zeros((1, n_nodes), dtype=np.float32)
+    for i in range(0, n_nodes - 1, 2):
+        children[0, i] = (i + 1, i + 2)  # x > -1 -> right child i+2
+        is_leaf[0, i + 1] = True
+        value[0, i + 1] = -99.0
+    is_leaf[0, n_nodes - 1] = True
+    value[0, n_nodes - 1] = 7.5  # node id 200: wraps to -56 as int8
+    ens = TreeEnsemble(feature=feature, threshold=threshold,
+                       children=children, is_leaf=is_leaf, value=value,
+                       base_value=1.0, max_depth=(n_nodes - 1) // 2 + 1)
+    out = doench_mod.ensemble_predict(ens, np.zeros((3, 1), np.float32))
+    np.testing.assert_allclose(out.ravel(), [8.5, 8.5, 8.5])

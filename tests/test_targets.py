@@ -134,3 +134,41 @@ def test_lazy_neighbors_dict_matches_neighbor_frame(configpath):
         assert row["Similar guides"] == ";".join(entry["seqs"])
         assert row["Similar guide distances"] == ";".join(
             str(d) for d in entry["dist"])
+
+
+def test_control_seqs_seed_reproducible(genome_fasta, configpath):
+    pamobj = PamTarget("ATGA", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    _, _, df1 = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                    configpath=configpath, length=20, n=12,
+                                    seed=42)
+    _, _, df2 = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                    configpath=configpath, length=20, n=12,
+                                    seed=42)
+    pd.testing.assert_frame_equal(df1, df2)
+    _, _, df3 = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                    configpath=configpath, length=20, n=12,
+                                    seed=43)
+    assert not df1["Sequences"].tolist() == df3["Sequences"].tolist()
+
+
+def test_neighbors_setter_invalidates_arrays(configpath):
+    """Assigning .neighbors must drop materialized (dists, idxs) arrays
+    so neighbor_frame recomputes instead of indexing stale rows."""
+    targets = _fixture_targets()
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    tl._neighbor_arrays()  # materialize
+    assert tl._nb_dists is not None
+    keep = tl.passing_seqs()[:1]
+    tl.neighbors = {s: tl.neighbors[s] for s in keep}
+    assert tl._nb_dists is None and tl._nb_idxs is None
+    frame = tl.neighbor_frame(keep)
+    assert frame["Guide sequence"].tolist() == keep
