@@ -62,6 +62,7 @@ class KnnIndex:
         self._codes = codes.astype(np.uint8)
         self._db_dev = None   # device-resident padded database (lazy)
         self._db_tile = None
+        self._mesh = None     # device mesh (sharded backend, lazy)
         self._seqset = None   # frozenset(self.seqs), built on first use
 
     def _counting_filter_valid(self, seqs: Sequence[str]) -> bool:
@@ -77,6 +78,17 @@ class KnnIndex:
         if len(seqs) == len(self.seqs) and list(seqs) == self.seqs:
             return True
         return all(s in self._seqset for s in seqs)
+
+    def _sharded_db(self):
+        """Device-resident sharded database (built once, reused by every
+        query/filter call — the database never re-crosses the host link)."""
+        if self._db_dev is None or not hasattr(self._db_dev, "db_oh"):
+            from ..distributed import auto_mesh
+            from .sharded import prepare_db_sharded
+            if self._mesh is None:
+                self._mesh = auto_mesh()
+            self._db_dev = prepare_db_sharded(self._codes, self._mesh)
+        return self._db_dev
 
     @property
     def _onehot(self) -> np.ndarray:
@@ -118,13 +130,8 @@ class KnnIndex:
                                            n_threads=self.num_threads)
         nd = len(self.seqs)
         if self.backend == "sharded":
-            from ..distributed import auto_mesh
-            from .sharded import sharded_hamming_topk
-            q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
-            if self._db_dev is None:  # cache the mesh, not device arrays
-                self._db_dev = auto_mesh()
-            return sharded_hamming_topk(q_oh, self._onehot, k, self.length,
-                                        mesh=self._db_dev)
+            from .sharded import fused_sharded_topk
+            return fused_sharded_topk(qc, self._sharded_db(), k)
         if self.backend == "pallas":
             from . import pallas_hamming as ph
             stream = nd >= STREAM_THRESHOLD
@@ -173,14 +180,9 @@ class KnnIndex:
         counting_ok = self._counting_filter_valid(seqs)
         if (self.metric == "hamming" and self.backend == "sharded"
                 and editdist <= self.length and counting_ok):
-            from ..distributed import auto_mesh
-            from .sharded import sharded_hamming_count
-            if self._db_dev is None:
-                self._db_dev = auto_mesh()
-            q_oh = dna.one_hot_matrix(self._encode_queries(seqs),
-                                      dtype=np.float32)
-            counts = sharded_hamming_count(q_oh, self._onehot, editdist,
-                                           self.length, mesh=self._db_dev)
+            from .sharded import fused_sharded_count
+            counts = fused_sharded_count(self._encode_queries(seqs),
+                                         self._sharded_db(), editdist)
             # dists[1] >= editdist  <=>  count(dist < editdist) <= 1: for
             # editdist > 0 the self-hit always contributes exactly 1; for
             # editdist == 0 nothing does and every query passes (matching

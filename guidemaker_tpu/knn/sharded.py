@@ -13,13 +13,28 @@ Scaling design (SURVEY.md §2 "parallelism strategies" mapping):
   the merge independent of mesh shape, so 1-chip and N-chip runs agree
   bit-for-bit.
 
-The same code path runs on a real TPU mesh and on the virtual CPU mesh
-used in tests (``--xla_force_host_platform_device_count``).  Multi-host
-runs only need ``jax.distributed.initialize()`` before calling in.
+Two kernel tiers share this sharding layout:
+
+* the **fused tier** (``prepare_db_sharded`` + ``fused_sharded_topk`` /
+  ``fused_sharded_count``) runs the int8 one-hot Pallas streaming kernels
+  (knn/pallas_stream.py) on each device's database shard — the same
+  speed-of-light per-chip path the single-chip driver uses, wrapped in a
+  ``shard_map`` whose only collectives are the ``all_gather`` top-k merge
+  / ``psum`` count reduction.  The sharded database is device-resident
+  and cached across queries.
+* the **portable tier** (``sharded_hamming_topk`` / ``sharded_hamming_count``)
+  is plain bf16 XLA ``lax.scan`` matmuls — used as a cross-check oracle
+  and on backends without Pallas TPU lowering.
+
+The same code runs on a real TPU mesh and on the virtual CPU mesh used in
+tests (``--xla_force_host_platform_device_count``; the Pallas kernels run
+in interpret mode there).  Multi-host runs only need
+``jax.distributed.initialize()`` before calling in.
 """
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -242,3 +257,193 @@ def sharded_hamming_topk(q_onehot: np.ndarray, db_onehot: np.ndarray,
         dist = np.concatenate([dist, pad], axis=1)
         idx = np.concatenate([idx, pad], axis=1)
     return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# Fused tier: int8 one-hot Pallas streaming kernels per database shard.
+#
+# Replaces the reference's NMSLib thread parallelism (core.py:450,502) with
+# device parallelism that keeps each chip on its fastest kernel: the MXU
+# runs int8 at 2x the bf16 rate and the streaming kernel never spills the
+# distance tiles to HBM (see pallas_stream.py), so N chips deliver ~N x the
+# measured single-chip throughput minus one (tq, d*k) all_gather.
+# ---------------------------------------------------------------------------
+
+
+def _smap(mesh, in_specs, out_specs):
+    """shard_map partial that tolerates old/new jax spellings."""
+    try:
+        from jax import shard_map
+        return functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_rep=False)
+
+
+def _onehot_int8(codes):
+    """uint8 codes -> lane-padded int8 one-hot (device-side, sharding-safe:
+    row-wise ops only, so a (q|d)-sharded input stays sharded)."""
+    n, length = codes.shape
+    oh = jax.nn.one_hot(codes, 4, dtype=jnp.int8).reshape(n, 4 * length)
+    feat_pad = -(4 * length) % 128
+    if feat_pad:
+        oh = jnp.pad(oh, ((0, 0), (0, feat_pad)))
+    return oh
+
+
+@dataclass
+class ShardedDb:
+    """Device-resident database, sharded over the mesh's ``d`` axis.
+
+    Built once per index (KnnIndex caches it); queries stream against it
+    without any further host->device database traffic.
+    """
+    mesh: Mesh
+    db_oh: jax.Array      # (d_shards*per_shard, feat) int8, P('d', None)
+    offsets: jax.Array    # (d_shards,) int32 global row offset, P('d')
+    nd: int               # true (unpadded) database size
+    per_shard: int
+    db_tile: int
+    length: int
+
+
+def prepare_db_sharded(codes: np.ndarray, mesh: Mesh, *,
+                       db_tile: int = 8192) -> ShardedDb:
+    """Shard + transfer the database once: 2-bit codes cross the host link
+    (16x less than one-hot), the int8 one-hot is built on device."""
+    from .pallas_hamming import _pad_code_rows
+    nd, length = codes.shape
+    d_shards = mesh.devices.shape[1]
+    per_dev = max(1, -(-nd // d_shards))
+    db_tile = min(db_tile, max(128, 1 << (per_dev - 1).bit_length()))
+    per_shard = -(-nd // (d_shards * db_tile)) * db_tile
+    padded = _pad_code_rows(codes, per_shard * d_shards)
+    row_sh = NamedSharding(mesh, P("d", None))
+    codes_dev = jax.device_put(jnp.asarray(padded), row_sh)
+    db_oh = jax.jit(_onehot_int8, out_shardings=row_sh)(codes_dev)
+    offsets = jax.device_put(
+        jnp.arange(d_shards, dtype=jnp.int32) * per_shard,
+        NamedSharding(mesh, P("d")))
+    return ShardedDb(mesh=mesh, db_oh=db_oh, offsets=offsets, nd=nd,
+                     per_shard=per_shard, db_tile=db_tile, length=length)
+
+
+def _put_queries(q_codes: np.ndarray, mesh: Mesh, q_tile: int):
+    """Pad query codes so every q-shard is a whole number of q_tiles, then
+    one-hot on device under the ``q`` sharding."""
+    from .pallas_hamming import _pad_code_rows
+    q_shards = mesh.devices.shape[0]
+    padded = _pad_code_rows(q_codes, q_shards * q_tile)
+    row_sh = NamedSharding(mesh, P("q", None))
+    codes_dev = jax.device_put(jnp.asarray(padded), row_sh)
+    return jax.jit(_onehot_int8, out_shardings=row_sh)(codes_dev)
+
+
+def _fit_q_tile(q_tile: int, db_tile: int, nq: int, q_shards: int) -> int:
+    """Largest q_tile that fits the streaming kernel's VMEM merge buffer
+    (see pallas_hamming.MAX_TILE_ELEMS) without shrinking the db tile the
+    resident database was laid out with."""
+    from .pallas_hamming import LANES, MAX_TILE_ELEMS
+    per_q = max(1, -(-nq // q_shards))
+    q_tile = min(q_tile, max(8, 1 << (per_q - 1).bit_length()))
+    while q_tile > 8 and q_tile * (db_tile + LANES) > MAX_TILE_ELEMS:
+        q_tile //= 2
+    return q_tile
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_topk_step(mesh: Mesh, k: int, length: int, q_tile: int,
+                     db_tile: int, interpret: bool):
+    """jitted shard_map step: per-shard Pallas streaming top-k, globalized
+    packed keys, all_gather merge over the ``d`` (ICI) axis."""
+    from .pallas_stream import _stream_topk
+
+    def step(q_oh, db_shard, offsets):
+        keys = _stream_topk(q_oh, db_shard, k=k, length=length,
+                            q_tile=q_tile, db_tile=db_tile,
+                            interpret=interpret)[:, :k]
+        # local -> global index: adding the shard offset to the idx bits
+        # cannot carry into the distance bits (global nd < 2^IDX_BITS)
+        keys = jnp.where(keys >= INF_KEY, INF_KEY, keys + offsets[0])
+        gathered = jax.lax.all_gather(keys, "d", axis=1, tiled=True)
+        neg_top, _ = jax.lax.top_k(-gathered, k)
+        return -neg_top
+
+    return jax.jit(_smap(
+        mesh,
+        (P("q", None), P("d", None), P("d")),
+        P("q", None))(step))
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_count_step(mesh: Mesh, editdist: int, length: int, q_tile: int,
+                      db_tile: int, interpret: bool):
+    """jitted shard_map step: per-shard Pallas counting kernel, psum over
+    ``d`` (counts are additive across shards — no top-k merge at all)."""
+    from .pallas_stream import _stream_count
+
+    def step(q_oh, db_shard):
+        cnt = _stream_count(q_oh, db_shard, length=length,
+                            editdist=editdist, q_tile=q_tile,
+                            db_tile=db_tile, interpret=interpret)[:, 0]
+        return jax.lax.psum(cnt, "d")
+
+    return jax.jit(_smap(
+        mesh,
+        (P("q", None), P("d", None)),
+        P("q"))(step))
+
+
+def fused_sharded_topk(q_codes: np.ndarray, sdb: ShardedDb, k: int, *,
+                       q_tile: int = 256,
+                       interpret: Optional[bool] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact Hamming k-NN against a resident sharded database; contract
+    matches hamming_topk (ascending (dist, idx), -1 padding)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from .pallas_hamming import LANES
+    nq = q_codes.shape[0]
+    k_eff = min(k, sdb.nd, LANES)
+    q_shards = sdb.mesh.devices.shape[0]
+    q_tile = _fit_q_tile(q_tile, sdb.db_tile, nq, q_shards)
+    q_oh = _put_queries(q_codes, sdb.mesh, q_tile)
+    step = _fused_topk_step(sdb.mesh, k_eff, sdb.length, q_tile,
+                            sdb.db_tile, interpret)
+    keys = step(q_oh, sdb.db_oh, sdb.offsets)
+    from ..util import fetch
+    out = fetch(keys[:nq])
+    dist, idx = unpack_keys(out)
+    bad = idx >= sdb.nd      # padding rows (dist == length, idx >= nd)
+    dist[bad] = -1
+    idx[bad] = -1
+    if k_eff < k:
+        pad = np.full((nq, k - k_eff), -1, dtype=np.int32)
+        dist = np.concatenate([dist, pad], axis=1)
+        idx = np.concatenate([idx, pad], axis=1)
+    return dist, idx
+
+
+def fused_sharded_count(q_codes: np.ndarray, sdb: ShardedDb, editdist: int,
+                        *, q_tile: int = 256,
+                        interpret: Optional[bool] = None) -> np.ndarray:
+    """(nq,) int32 counts of database entries with dist < editdist.
+
+    Padding rows one-hot to all-zero => dist == length >= editdist, so
+    they are never counted (callers reject editdist > length up front).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if editdist > sdb.length:
+        raise ValueError("editdist must be <= guide length for counting")
+    nq = q_codes.shape[0]
+    q_shards = sdb.mesh.devices.shape[0]
+    q_tile = _fit_q_tile(q_tile, sdb.db_tile, nq, q_shards)
+    q_oh = _put_queries(q_codes, sdb.mesh, q_tile)
+    step = _fused_count_step(sdb.mesh, editdist, sdb.length, q_tile,
+                             sdb.db_tile, interpret)
+    counts = step(q_oh, sdb.db_oh)
+    from ..util import fetch
+    return fetch(counts[:nq])

@@ -68,6 +68,82 @@ def test_mesh_shape_does_not_change_results():
         np.testing.assert_array_equal(results[0][1], i2)
 
 
+@pytest.mark.parametrize("q_shards,d_shards", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_fused_sharded_topk_matches_single_device(q_shards, d_shards):
+    """The Pallas-kernel sharded tier must agree bit-for-bit with the
+    single-device path on every mesh shape (VERDICT r1 item 2)."""
+    from guidemaker_tpu.knn.sharded import fused_sharded_topk, prepare_db_sharded
+    rng = np.random.default_rng(q_shards * 100 + d_shards)
+    codes = rng.integers(0, 4, size=(1000, 20)).astype(np.uint8)
+    qc = rng.integers(0, 4, size=(96, 20)).astype(np.uint8)
+    mesh = make_mesh(q_shards, d_shards)
+    sdb = prepare_db_sharded(codes, mesh, db_tile=128)
+    d_sh, i_sh = fused_sharded_topk(qc, sdb, 5)
+    d_1, i_1 = hamming_topk(dna.one_hot_matrix(qc), dna.one_hot_matrix(codes),
+                            5, 20)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+
+
+def test_fused_sharded_unaligned_and_k_exceeds_db():
+    from guidemaker_tpu.knn.sharded import fused_sharded_topk, prepare_db_sharded
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 4, size=(531, 17)).astype(np.uint8)
+    qc = rng.integers(0, 4, size=(37, 17)).astype(np.uint8)
+    mesh = make_mesh(2, 4)
+    sdb = prepare_db_sharded(codes, mesh, db_tile=64)
+    d_sh, i_sh = fused_sharded_topk(qc, sdb, 4)
+    d_1, i_1 = hamming_topk(dna.one_hot_matrix(qc),
+                            dna.one_hot_matrix(codes), 4, 17)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+    # k exceeding the db size pads with -1, exactly like hamming_topk
+    tiny = codes[:3]
+    sdb2 = prepare_db_sharded(tiny, make_mesh(1, 8))
+    d_sh, i_sh = fused_sharded_topk(qc[:8], sdb2, 6)
+    d_1, i_1 = hamming_topk(dna.one_hot_matrix(qc[:8]),
+                            dna.one_hot_matrix(tiny), 6, 17)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+    assert (d_sh[:, 3:] == -1).all()
+
+
+def test_fused_sharded_count_matches_oracle():
+    from guidemaker_tpu.knn.sharded import fused_sharded_count, prepare_db_sharded
+    rng = np.random.default_rng(29)
+    codes = rng.integers(0, 4, size=(500, 20)).astype(np.uint8)
+    codes[3] = codes[4]
+    codes[4, 0] ^= 1
+    dist = (codes[:, None, :] != codes[None, :, :]).sum(axis=2)
+    for q_s, d_s in ((2, 4), (1, 8), (4, 2)):
+        mesh = make_mesh(q_s, d_s, devices=jax.devices()[:q_s * d_s])
+        sdb = prepare_db_sharded(codes, mesh, db_tile=128)
+        for e in (1, 2, 5):
+            counts = fused_sharded_count(codes, sdb, e)
+            np.testing.assert_array_equal(counts, (dist < e).sum(axis=1))
+
+
+def test_knn_index_sharded_backend_matches_xla():
+    """KnnIndex(backend='sharded') routes through the fused tier, caches
+    the sharded device db, and agrees with the xla backend."""
+    from guidemaker_tpu.knn.driver import KnnIndex
+    from guidemaker_tpu.knn.sharded import ShardedDb
+    rng = np.random.default_rng(31)
+    seqs = list({"".join(rng.choice(list("ACGT"), 20)) for _ in range(400)})
+    idx_sh = KnnIndex(seqs, "hamming", backend="sharded")
+    idx_xla = KnnIndex(seqs, "hamming", backend="xla")
+    d_sh, i_sh = idx_sh.query(seqs[:64], k=4)
+    d_1, i_1 = idx_xla.query(seqs[:64], k=4)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+    assert isinstance(idx_sh._db_dev, ShardedDb)  # cached, not re-put
+    db_before = idx_sh._db_dev
+    passed = idx_sh.pass_distance_filter(seqs, editdist=3)
+    expect = idx_xla.pass_distance_filter(seqs, editdist=3)
+    np.testing.assert_array_equal(passed, expect)
+    assert idx_sh._db_dev is db_before
+
+
 def test_sharded_count_matches_oracle():
     import numpy as np
     from guidemaker_tpu import dna
