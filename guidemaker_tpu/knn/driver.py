@@ -115,13 +115,27 @@ class KnnIndex:
         """
         if len(seqs) == 0:
             return (np.empty((0, k), np.int32), np.empty((0, k), np.int32))
+        return self.query_codes(self._encode_queries(seqs), k)
+
+    def query_codes(self, qc: np.ndarray,
+                    k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """query() on pre-encoded (nq, L) uint8 codes — skips the string
+        round-trip (the control-guide search samples codes directly)."""
+        if qc.shape[0] == 0:
+            return (np.empty((0, k), np.int32), np.empty((0, k), np.int32))
         if self.backend != "native":
             # compiled-executable downloads and result transfers both ride
             # the relay's return channel: never dispatch against it cold
             from ..util import warm_d2h_channel
             warm_d2h_channel(wait=True)
-        qc = self._encode_queries(seqs)
+        qc = np.asarray(qc, dtype=np.uint8)
         if self.metric != "hamming":
+            if self.backend == "sharded":
+                from ..distributed import auto_mesh
+                from .sharded import sharded_leven_topk
+                if self._mesh is None:
+                    self._mesh = auto_mesh()
+                return sharded_leven_topk(qc, self._codes, k, mesh=self._mesh)
             return leven_topk(qc, self._codes, k)
         if self.backend == "native":
             from .. import native
@@ -178,6 +192,14 @@ class KnnIndex:
             # reference semantics: dists[1] is padding (-1) -> nothing passes
             return np.zeros(len(seqs), dtype=bool)
         counting_ok = self._counting_filter_valid(seqs)
+        if (self.metric == "leven" and counting_ok
+                and editdist <= self.length):
+            # MXU dilated-filter counting + banded-DP verification (see
+            # leven.leven_pass_filter); exact, and orders of magnitude
+            # cheaper than the full-DP k=2 query at genome scale
+            from .leven import leven_pass_filter
+            return leven_pass_filter(self._encode_queries(seqs),
+                                     self._codes, editdist)
         if (self.metric == "hamming" and self.backend == "sharded"
                 and editdist <= self.length and counting_ok):
             from .sharded import fused_sharded_count
@@ -218,6 +240,67 @@ class KnnIndex:
             return counts <= 1
         dists, _ = self.query(seqs, k=2)
         return (dists[:, 1] >= 0) & (dists[:, 1] >= editdist)
+
+    def count_within(self, codes, editdist: int):
+        """(nq,) int32 raw counts of database entries at distance
+        < ``editdist`` per query, or None when unsupported (Levenshtein,
+        native backend) — callers fall back to an exact k=1/k=2 query.
+
+        Unlike :meth:`pass_distance_filter`, no membership precondition:
+        these are plain counts (``count == 0`` <=> nearest >= editdist),
+        used by the control-guide search to triage huge candidate pools
+        with one VPU pass per pair and a tiny device->host transfer.
+        ``codes`` may be a host array or a device-resident one (the
+        control sampler generates candidates on device — no host->device
+        candidate traffic at all).
+        """
+        if self.metric != "hamming" or self.backend == "native" \
+                or editdist > self.length:
+            return None
+        import jax
+        import jax.numpy as jnp
+        from ..util import fetch, warm_d2h_channel
+        warm_d2h_channel(wait=True)
+        nd = len(self.seqs)
+        nq = int(codes.shape[0])
+        if self.backend == "sharded":
+            from .sharded import fused_sharded_count
+            return fused_sharded_count(
+                np.asarray(codes, dtype=np.uint8), self._sharded_db(),
+                editdist)
+        if self.backend == "pallas":
+            from . import pallas_hamming as ph
+            from .pallas_stream import stream_count_device
+            if self._db_dev is None:
+                self._db_tile = min(
+                    8192, max(128, 1 << int(nd - 1).bit_length()))
+                self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            q_tile, _ = ph.clamp_tiles(
+                min(256, max(8, 1 << (nq - 1).bit_length())), self._db_tile)
+            dev = jnp.asarray(codes)
+            pad = (-nq) % q_tile
+            if pad:   # pad rows on device with INVALID=4 (one-hots to zero)
+                dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
+            q_dev = ph._onehot_on_device(dev)
+            return stream_count_device(None, self._db_dev, nd, editdist,
+                                       self.length, db_tile=self._db_tile,
+                                       q_tile=q_tile, q_dev=q_dev, nq=nq)
+        # xla backend: scan-matmul counting twin
+        from .hamming import _count_all, fit_tile, prepare_db
+        if self._db_dev is None:
+            self._db_tile = fit_tile(8192, nd)
+            self._db_dev = prepare_db(self._onehot, self._db_tile)
+        q_tile = fit_tile(2048, nq)
+        dev = jnp.asarray(codes)
+        pad = (-nq) % q_tile
+        if pad:
+            dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
+        q_oh = jax.nn.one_hot(dev, 4, dtype=jnp.bfloat16).reshape(
+            dev.shape[0], -1)
+        counts = _count_all(q_oh, self._db_dev, jnp.int32(nd),
+                            editdist=editdist, length=self.length,
+                            db_tile=self._db_tile, q_tile=q_tile)
+        return fetch(counts)[:nq]
 
     def neighbor_seqs(self, idx_row: np.ndarray) -> List[str]:
         """Map database indices to sequences (fixes the reference's

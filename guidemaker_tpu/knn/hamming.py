@@ -111,6 +111,37 @@ def _topk_all(q_pad, db_oh, db_n, idx_offset, *, k, length, db_tile, q_tile):
     return out.reshape(nq_pad, k)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("editdist", "length", "db_tile",
+                                    "q_tile"))
+def _count_all(q_pad, db_oh, db_n, *, editdist, length, db_tile, q_tile):
+    """count(dist < editdist) per query, all query tiles in one dispatch.
+
+    XLA twin of the Pallas counting kernel (pallas_stream._count_kernel):
+    used by backends without Pallas TPU lowering.  Padding query rows
+    (all-zero one-hot) produce garbage counts that callers slice off;
+    padding db rows are masked by ``db_n``.
+    """
+    nq_pad, feat = q_pad.shape
+    n_tiles = db_oh.shape[0] // db_tile
+    thresh = jnp.float32(length - editdist)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, db_tile), 1)
+    tiles = q_pad.reshape(nq_pad // q_tile, q_tile, feat)
+
+    def one(q):
+        def body(cnt, t):
+            tile = jax.lax.dynamic_slice_in_dim(db_oh, t * db_tile, db_tile)
+            matches = jnp.dot(q, tile.T, preferred_element_type=jnp.float32)
+            hit = (matches > thresh) & (t * db_tile + lane < db_n)
+            return cnt + jnp.sum(hit.astype(jnp.int32), axis=1), None
+
+        cnt, _ = jax.lax.scan(body, jnp.zeros((q_tile,), jnp.int32),
+                              jnp.arange(n_tiles, dtype=jnp.int32))
+        return cnt
+
+    return jax.lax.map(one, tiles).reshape(nq_pad)
+
+
 def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     n = arr.shape[0]
     pad = (-n) % multiple

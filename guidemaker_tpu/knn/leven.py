@@ -71,12 +71,32 @@ def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile):
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("k", "length", "db_tile",
+                                              "q_tile"))
+def _topk_scan_leven(q_pad, db_codes, db_n, idx_offset, *, k, length,
+                     db_tile, q_tile):
+    """Single-dispatch driver: lax.scan over query tiles around the db-tile
+    running top-k — one kernel launch for the whole query set (the per-tile
+    host loop used to cost one tunnel RTT per 512 queries)."""
+    n_qt = q_pad.shape[0] // q_tile
+    qt = q_pad.reshape(n_qt, q_tile, length)
+
+    def step(_, qtile):
+        return None, _topk_tiles_leven(qtile, db_codes, db_n, idx_offset,
+                                       k=k, length=length, db_tile=db_tile)
+
+    _, keys = jax.lax.scan(step, None, qt)
+    return keys.reshape(n_qt * q_tile, k)
+
+
 def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
-               db_tile: int = 1024, q_tile: int = 512, idx_offset: int = 0):
+               db_tile: int = 1024, q_tile: int = 512, idx_offset: int = 0,
+               db_dev=None):
     """Exact k smallest Levenshtein distances per query (see hamming_topk).
 
-    Queries run in host-side blocks (the Levenshtein path trades a few
-    dispatches for a much lighter compile than a fully-nested scan).
+    One device dispatch for the whole query set; pass a pre-transferred
+    ``db_dev`` (from ``jnp.asarray(_pad_rows(db_codes, db_tile))``) to
+    reuse a device-resident database across calls.
     """
     nq, nd = q_codes.shape[0], db_codes.shape[0]
     length = q_codes.shape[1]
@@ -84,15 +104,13 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
     db_tile = min(db_tile, max(128, 1 << (int(nd - 1).bit_length())))
     q_tile = min(q_tile, max(128, 1 << (int(nq - 1).bit_length())))
 
-    db_dev = jnp.asarray(_pad_rows(db_codes, db_tile))
+    if db_dev is None:
+        db_dev = jnp.asarray(_pad_rows(db_codes, db_tile))
     q_pad = _pad_rows(q_codes, q_tile)
-    out = np.empty((q_pad.shape[0], k_eff), dtype=np.int32)
-    for i in range(0, q_pad.shape[0], q_tile):
-        keys = _topk_tiles_leven(jnp.asarray(q_pad[i:i + q_tile]), db_dev,
-                                 jnp.int32(nd), jnp.int32(idx_offset),
-                                 k=k_eff, length=length, db_tile=db_tile)
-        out[i:i + q_tile] = fetch(keys)
-    out = out[:nq]
+    out = fetch(_topk_scan_leven(jnp.asarray(q_pad), db_dev, jnp.int32(nd),
+                                 jnp.int32(idx_offset), k=k_eff,
+                                 length=length, db_tile=db_tile,
+                                 q_tile=q_tile))[:nq]
 
     dist, idx = unpack_keys(out)
     if k_eff < k:
@@ -100,3 +118,199 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
         dist = np.concatenate([dist, pad], axis=1)
         idx = np.concatenate([idx, pad], axis=1)
     return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# Genome-scale Levenshtein retention: MXU prefilter + banded-DP verification
+#
+# The reference handles million-guide `leven` runs through one NMSLib index
+# (core.py:459-467).  Exact brute-force DP over all pairs is VPU work
+# (~3.4k ops/pair) — 1e12 pairs would take hours.  Retention, however, only
+# needs "is the 2nd-nearest neighbor at distance >= e", and that decision
+# can ride the MXU:
+#
+#   If leven(a, b) <= t (t = e-1), an optimal alignment has >= L - t
+#   matched characters, each matched pair offset by at most t positions
+#   (an alignment with i insertions / d deletions never leaves the
+#   diagonal band |j - i| <= t).  Therefore
+#
+#     dot(onehot(a), dilated_t(b)) >= L - t   AND
+#     dot(dilated_t(a), onehot(b)) >= L - t
+#
+#   where dilated_t ORs each position's one-hot over a +-t window.  Summing
+#   both sides: dot([oh(a); dil(a)], [dil(b); oh(b)]) >= 2(L - t) — one
+#   int8 MXU inner product per pair, evaluated by the existing counting /
+#   top-k kernels with "length" 2L and "editdist" 2e-1.
+#
+# The filter is sound (never misses a true leven < e pair) but not exact;
+# queries with >= 2 filter hits are verified by a banded DP over just
+# their candidate pairs, and the rare queries with more than LANES
+# candidates fall back to an exact k=2 full-DP query.
+# ---------------------------------------------------------------------------
+
+#: filter top-k candidate budget (kernel output lane width)
+_FILTER_K = 64
+
+
+def dilated_onehot(codes: np.ndarray, t: int, lanes: int = 128) -> np.ndarray:
+    """(n, L) uint8 codes -> (n, pad(4L)) int8 position-major one-hot,
+    OR-dilated over a +-t position window (t=0 gives the plain one-hot).
+
+    Layout matches pallas_hamming._onehot_on_device (pos-major, 4 channels
+    per position) so dilated and plain encodings can be dotted together.
+    Invalid codes (>= 4, incl. padding) contribute nothing.
+    """
+    n, length = codes.shape
+    oh = np.zeros((n, length, 4), dtype=np.int8)
+    valid = codes < 4
+    np.put_along_axis(oh, np.where(valid, codes, 0)[..., None].astype(np.int64),
+                      valid[..., None].astype(np.int8), axis=2)
+    out = oh
+    for s in range(1, t + 1):
+        shifted_fwd = np.zeros_like(oh)
+        shifted_fwd[:, s:] = oh[:, :-s]
+        shifted_back = np.zeros_like(oh)
+        shifted_back[:, :-s] = oh[:, s:]
+        out = np.maximum(out, np.maximum(shifted_fwd, shifted_back))
+    flat = out.reshape(n, 4 * length)
+    pad = -flat.shape[1] % lanes
+    if pad:
+        flat = np.pad(flat, ((0, 0), (0, pad)))
+    return flat
+
+
+def _filter_feats(codes: np.ndarray, t: int, side: str) -> np.ndarray:
+    """Two-sided filter features: queries carry [oh; dil], database rows
+    carry [dil; oh], so one dot product evaluates both direction sums."""
+    oh = dilated_onehot(codes, 0)
+    dil = dilated_onehot(codes, t)
+    return np.concatenate([oh, dil] if side == "q" else [dil, oh], axis=1)
+
+
+_BIG = np.int32(1 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "length"))
+def banded_leven_pairs(a: jnp.ndarray, b: jnp.ndarray, *, t: int,
+                       length: int) -> jnp.ndarray:
+    """Banded Levenshtein for row-paired codes: (n, L) x (n, L) -> (n,).
+
+    Exact whenever the true distance is <= t; anything larger returns
+    t + 1 (a path with > t edits must leave the +-t diagonal band, so the
+    band bound is itself sound).  Pure VPU: w = 2t+1 lanes per pair,
+    cummin row recurrence as in leven_block.
+    """
+    n = a.shape[0]
+    w = 2 * t + 1
+    offs = jnp.arange(-t, t + 1, dtype=jnp.int32)          # (w,)
+    oidx = jnp.arange(w, dtype=jnp.int32)
+    row = jnp.where(offs >= 0, offs, _BIG)
+    B = jnp.broadcast_to(row, (n, w)).astype(jnp.int32)    # D[0][j]
+
+    for i in range(1, length + 1):
+        j = i + offs                                       # (w,) col per lane
+        in_band = (j >= 0) & (j <= length)
+        # substitution: B[o] + (a[i-1] != b[j-1]); j==0 handled below
+        bj = jnp.take(b, jnp.clip(j - 1, 0, length - 1), axis=1)  # (n, w)
+        cost = (a[:, i - 1:i] != bj).astype(jnp.int32)
+        sub = B + cost
+        # deletion (consume a char): D[i-1][j] = B[o+1]
+        dele = jnp.concatenate(
+            [B[:, 1:], jnp.full((n, 1), _BIG, jnp.int32)], axis=1) + 1
+        E = jnp.minimum(sub, dele)
+        E = jnp.where(j == 0, jnp.int32(i), E)             # D[i][0] = i
+        E = jnp.where(in_band, E, _BIG)
+        # insertion closure along the row: D[i][j] = min_{m<=j} E[m]+(j-m)
+        B = jax.lax.cummin(E - oidx, axis=1) + oidx
+        B = jnp.where(in_band, B, _BIG)
+    return jnp.minimum(B[:, t], t + 1)                     # o=0 -> j=L
+
+
+def _stream_feat_count(q_feat, db_feat, thresh_dist, two_l, *,
+                       interpret=None):
+    """count(dot < threshold) via the streaming counting kernel, on raw
+    feature matrices (used with the dilated-filter encoding)."""
+    from .pallas_stream import _stream_count
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nq, nd = q_feat.shape[0], db_feat.shape[0]
+    db_tile = min(8192, max(128, 1 << (nd - 1).bit_length()))
+    q_tile = min(256, max(8, 1 << (nq - 1).bit_length()))
+    from .pallas_hamming import clamp_tiles
+    q_tile, db_tile = clamp_tiles(q_tile, db_tile)
+    q_dev = jnp.asarray(_pad_rows(q_feat, q_tile), dtype=jnp.int8)
+    db_dev = jnp.asarray(_pad_rows(db_feat, db_tile), dtype=jnp.int8)
+    counts = _stream_count(q_dev, db_dev, length=two_l,
+                           editdist=thresh_dist, q_tile=q_tile,
+                           db_tile=db_tile, interpret=interpret)
+    return fetch(counts[:nq, 0])
+
+
+def _stream_feat_topk(q_feat, db_feat, k, two_l, *, interpret=None):
+    """top-k smallest (2L - dot) pseudo-distances on raw feature matrices."""
+    from .pallas_stream import _stream_topk
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nq, nd = q_feat.shape[0], db_feat.shape[0]
+    db_tile = min(8192, max(128, 1 << (nd - 1).bit_length()))
+    q_tile = min(256, max(8, 1 << (nq - 1).bit_length()))
+    from .pallas_hamming import clamp_tiles
+    q_tile, db_tile = clamp_tiles(q_tile, db_tile)
+    q_dev = jnp.asarray(_pad_rows(q_feat, q_tile), dtype=jnp.int8)
+    db_dev = jnp.asarray(_pad_rows(db_feat, db_tile), dtype=jnp.int8)
+    keys = _stream_topk(q_dev, db_dev, k=k, length=two_l, q_tile=q_tile,
+                        db_tile=db_tile, interpret=interpret)
+    _, idx = unpack_keys(fetch(keys[:nq, :k]))
+    idx[idx >= nd] = -1                      # padding rows
+    return idx
+
+
+def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
+                      editdist: int, *, interpret=None,
+                      filter_k: int = _FILTER_K) -> np.ndarray:
+    """(nq,) bool — is each query's 2nd-nearest Levenshtein neighbor at
+    distance >= editdist?  Requires the driver's counting preconditions
+    (deduplicated database, every query a member).
+
+    Three tiers: MXU dilated-filter counting (decides the overwhelming
+    majority of queries in one pass), banded-DP verification of the
+    filter's candidate lists, and an exact full-DP k=2 fallback for
+    queries whose candidate list overflows ``filter_k``.
+    """
+    nq, length = q_codes.shape
+    nd = db_codes.shape[0]
+    e = int(editdist)
+    if e <= 1:
+        # dist < 1 means identical; dedup + membership make self the only
+        # such hit, so every query passes (e == 0 is vacuous, as in the
+        # reference threshold core.py:517-522)
+        return np.ones(nq, dtype=bool)
+    t = e - 1
+    q_feat = _filter_feats(q_codes, t, "q")
+    db_feat = _filter_feats(db_codes, t, "db")
+    two_l = 2 * length
+    # pass <=> dot >= 2(L - t) <=> pseudo-dist (2L - dot) <= 2t < 2e - 1
+    counts = _stream_feat_count(q_feat, db_feat, 2 * e - 1, two_l,
+                                interpret=interpret)
+    passed = counts <= 1
+    ambig = np.flatnonzero((counts >= 2) & (counts <= filter_k))
+    overflow = np.flatnonzero(counts > filter_k)
+
+    if ambig.size:
+        k_eff = min(filter_k, nd)
+        cand = _stream_feat_topk(q_feat[ambig], db_feat, k_eff, two_l,
+                                 interpret=interpret)       # (na, k_eff)
+        qa = np.repeat(q_codes[ambig], k_eff, axis=0)
+        ca = db_codes[np.clip(cand, 0, nd - 1)].reshape(-1, length)
+        bd = fetch(banded_leven_pairs(jnp.asarray(qa), jnp.asarray(ca),
+                                      t=t, length=length))
+        bd = bd.reshape(ambig.size, k_eff)
+        # dist 0 <=> identical <=> self (db is deduplicated; queries are
+        # members); any other candidate closer than e fails retention
+        close = (bd > 0) & (bd < e) & (cand >= 0)
+        passed[ambig] = ~close.any(axis=1)
+
+    if overflow.size:
+        d2, _ = leven_topk(q_codes[overflow], db_codes, 2)
+        passed[overflow] = (d2[:, 1] >= 0) & (d2[:, 1] >= e)
+    return passed

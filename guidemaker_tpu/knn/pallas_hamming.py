@@ -137,6 +137,18 @@ def _onehot_on_device(codes) -> jnp.ndarray:
     return oh
 
 
+def bucket_rows(n: int, tile: int) -> int:
+    """Row count padded to ``tile * next_pow2(n_tiles)``.
+
+    Kernel grids (and therefore compiled programs) then come from a tiny
+    logarithmic set of shapes instead of one per query-batch size — on
+    tunneled TPU backends every novel shape costs a multi-second (worst
+    observed: 78 s) compile+download stall, far more than the <=2x extra
+    pair throughput the padding costs."""
+    tiles = max(1, -(-n // tile))
+    return tile * (1 << (tiles - 1).bit_length())
+
+
 def _pad_code_rows(codes: np.ndarray, multiple: int) -> np.ndarray:
     pad = (-codes.shape[0]) % multiple
     if pad:
@@ -175,11 +187,12 @@ def pallas_topk_device(q_onehot: np.ndarray, db_dev, nd: int, k: int,
         raise ValueError(
             f"db_tile {db_tile} with q_tile {q_tile} exceeds scoped VMEM; "
             f"prepare the database with db_tile <= {clamped_db}")
+    rows = bucket_rows(nq, q_tile)   # pow2 grid: bounded program set
     if q_onehot is None:
         q_dev = _onehot_on_device(
-            jnp.asarray(_pad_code_rows(q_codes, q_tile)))
+            jnp.asarray(_pad_code_rows(q_codes, rows)))
     else:
-        q_dev = jnp.asarray(_pad_rows(_pad_feat(q_onehot), q_tile),
+        q_dev = jnp.asarray(_pad_rows(_pad_feat(q_onehot), rows),
                             dtype=jnp.int8)
     keys = _pallas_topk(
         q_dev, db_dev, k=k_eff, length=length, q_tile=q_tile,

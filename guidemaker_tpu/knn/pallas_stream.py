@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .hamming import IDX_BITS, INF_KEY, unpack_keys
 from .pallas_hamming import (LANES, _onehot_on_device, _pad_code_rows,
-                             clamp_tiles)
+                             bucket_rows, clamp_tiles)
 
 
 def _stream_kernel(q_ref, db_hbm, out_ref, db_buf, sems, *,
@@ -193,7 +193,8 @@ def stream_count_device(q_codes: np.ndarray, db_dev, nd: int,
         nq = q_codes.shape[0]
         q_tile = min(q_tile, max(8, 1 << int(nq - 1).bit_length()))
         q_tile, _ = clamp_tiles(q_tile, db_tile)
-        q_dev = _onehot_on_device(jnp.asarray(_pad_code_rows(q_codes, q_tile)))
+        q_dev = _onehot_on_device(jnp.asarray(
+            _pad_code_rows(q_codes, bucket_rows(nq, q_tile))))
     else:
         # queries == database: reuse the resident one-hot (its padding
         # rows one-hot to zero -> count 0, sliced off below)
@@ -216,7 +217,8 @@ def stream_topk_device(q_codes: np.ndarray, db_dev, nd: int, k: int,
     k_eff = min(k, nd, LANES)
     q_tile = min(q_tile, max(8, 1 << int(nq - 1).bit_length()))
     q_tile, _ = clamp_tiles(q_tile, db_tile)
-    q_dev = _onehot_on_device(jnp.asarray(_pad_code_rows(q_codes, q_tile)))
+    q_dev = _onehot_on_device(jnp.asarray(
+        _pad_code_rows(q_codes, bucket_rows(nq, q_tile))))
     keys = _stream_topk(q_dev, db_dev, k=k_eff, length=length,
                         q_tile=q_tile, db_tile=db_tile, interpret=interpret)
     from ..util import fetch

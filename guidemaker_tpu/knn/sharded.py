@@ -426,6 +426,67 @@ def fused_sharded_topk(q_codes: np.ndarray, sdb: ShardedDb, k: int, *,
     return dist, idx
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_leven_step(mesh: Mesh, k: int, length: int, q_tile: int,
+                        db_tile: int):
+    """jitted shard_map step for Levenshtein: per-shard cummin-DP top-k
+    (leven._topk_tiles_leven) with globally-offset keys, all_gather merge."""
+    from .leven import _topk_tiles_leven
+
+    def step(qc, db_shard, db_valid, offsets):
+        local = _topk_tiles_leven(qc, db_shard, db_valid[0], offsets[0],
+                                  k=k, length=length, db_tile=db_tile)
+        gathered = jax.lax.all_gather(local, "d", axis=1, tiled=True)
+        neg_top, _ = jax.lax.top_k(-gathered, k)
+        return -neg_top
+
+    return jax.jit(_smap(
+        mesh,
+        (P("q", None), P("d", None), P("d"), P("d")),
+        P("q", None))(step))
+
+
+def sharded_leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
+                       mesh: Optional[Mesh] = None, db_tile: int = 1024,
+                       q_tile: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact Levenshtein k-NN, database sharded over ``d``, queries over
+    ``q``; same contract as leven_topk."""
+    from .pallas_hamming import _pad_code_rows
+    if mesh is None:
+        mesh = make_mesh(1, len(jax.devices()))
+    q_shards, d_shards = mesh.devices.shape
+    nq, length = q_codes.shape
+    nd = db_codes.shape[0]
+    k_eff = min(k, nd)
+
+    per_dev = max(1, -(-nd // d_shards))
+    db_tile = min(db_tile, max(128, 1 << (per_dev - 1).bit_length()))
+    per_shard = -(-nd // (d_shards * db_tile)) * db_tile
+    db_pad = _pad_code_rows(db_codes, per_shard * d_shards)
+    offsets = np.arange(d_shards, dtype=np.int32) * per_shard
+    valid = np.minimum(np.maximum(nd - offsets, 0), per_shard).astype(np.int32)
+
+    q_tile = min(q_tile, max(8, 1 << (max(1, -(-nq // q_shards)) - 1).bit_length()))
+    q_pad = _pad_code_rows(q_codes, q_shards * q_tile)
+
+    step = _sharded_leven_step(mesh, k_eff, length, q_tile, db_tile)
+    q_sh = jax.device_put(jnp.asarray(q_pad),
+                          NamedSharding(mesh, P("q", None)))
+    db_sh = jax.device_put(jnp.asarray(db_pad),
+                           NamedSharding(mesh, P("d", None)))
+    valid_sh = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("d")))
+    off_sh = jax.device_put(jnp.asarray(offsets), NamedSharding(mesh, P("d")))
+    from ..util import fetch
+    keys = fetch(step(q_sh, db_sh, valid_sh, off_sh))[:nq]
+
+    dist, idx = unpack_keys(keys)
+    if k_eff < k:
+        pad = np.full((nq, k - k_eff), -1, dtype=np.int32)
+        dist = np.concatenate([dist, pad], axis=1)
+        idx = np.concatenate([idx, pad], axis=1)
+    return dist, idx
+
+
 def fused_sharded_count(q_codes: np.ndarray, sdb: ShardedDb, editdist: int,
                         *, q_tile: int = 256,
                         interpret: Optional[bool] = None) -> np.ndarray:

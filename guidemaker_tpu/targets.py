@@ -37,6 +37,29 @@ logger = logging.getLogger(__name__)
 
 pd.options.mode.chained_assignment = None
 
+_SAMPLER = None
+
+
+def _device_sampler():
+    """Lazily-built jitted control-candidate sampler (module-level so the
+    jit cache persists across calls; rebuilding it per call would retrace)."""
+    global _SAMPLER
+    if _SAMPLER is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("m", "length"))
+        def sample(key, cum, *, m, length):
+            # inverse-CDF over the reference's G,C,A,T order; uint8 codes
+            bases = jnp.asarray([2, 1, 0, 3], dtype=jnp.uint8)
+            u = jax.random.uniform(key, (m, length), dtype=jnp.float32)
+            cell = jnp.sum(u[..., None] >= cum, axis=-1).astype(jnp.uint8)
+            return jnp.take(bases, jnp.minimum(cell, 3))
+
+        _SAMPLER = sample
+    return _SAMPLER
+
 
 class TargetProcessor:
     """A set of candidate gRNA targets plus processing state."""
@@ -272,6 +295,64 @@ class TargetProcessor:
         return df
 
     # ------------------------------------------------------------------
+    def _control_search(self, gc: float, length: int, n: int,
+                        multiples, minimum_hmdist_target: int,
+                        seed: Optional[int]):
+        """The escalation-ladder search (core.py:586-623), TPU-first:
+
+        * candidate codes are sampled ON DEVICE (threefry PRNG) — a 10M-
+          candidate rung moves zero candidate bytes over the host link;
+        * each rung is triaged by the counting kernel: a candidate passes
+          iff count(dist < MINIMUM_HMDIST) == 0 <=> nearest >= target, one
+          VPU pass per pair and a 1-byte-per-candidate result transfer;
+        * exact nearest distances are then computed only for the passers
+          (the reference ranks its keepers by exact distance — on a
+          successful rung the top-n most distant ARE passers, so the
+          selection is identical to the reference's sort-all-then-take-n);
+        * Levenshtein (or the native backend) falls back to exact k=1 for
+          the whole rung, like the reference.
+        """
+        import jax
+        import jax.numpy as jnp
+        from .util import fetch
+
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, 2 ** 63))
+        key = jax.random.PRNGKey(seed)
+        # reference base order G, C, A, T (core.py:590-592)
+        cum = jnp.cumsum(jnp.asarray(
+            [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2], jnp.float32))
+
+        sample_codes = _device_sampler()
+        search_mult = 0
+        for rung, search_mult in enumerate(multiples):
+            m = n * search_mult
+            codes_dev = sample_codes(jax.random.fold_in(key, rung), cum,
+                                     m=m, length=length)
+            counts = self.index.count_within(codes_dev,
+                                             minimum_hmdist_target)
+            if counts is not None:
+                passers = np.flatnonzero(counts == 0)
+                if passers.size < n:
+                    continue          # rung failed; escalate
+                pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
+                                    axis=0))
+                dists, _ = self.index.query_codes(pc, k=1)
+                nearest = dists[:, 0].astype(np.int64)
+            else:                     # leven / native: exact full rung
+                pc = fetch(codes_dev)
+                dists, _ = self.index.query_codes(pc, k=1)
+                nearest = dists[:, 0].astype(np.int64)
+            order = np.argsort(-nearest, kind="stable")[:n]
+            sort_dist = [float(nearest[i]) for i in order]
+            if int(min(sort_dist)) >= minimum_hmdist_target:
+                sort_seq = dna.decode_rows(pc[order])
+                return sort_seq, sort_dist, search_mult
+        raise IndexError(
+            "Could not find controls with minimum distance %d even with "
+            "a search pool of %d" % (minimum_hmdist_target, n * search_mult))
+
+    # ------------------------------------------------------------------
     def get_control_seqs(self, seq_record_iter, configpath: str,
                          length: int = 20, n: int = 10,
                          num_threads: int = 2, seed: Optional[int] = None):
@@ -301,28 +382,8 @@ class TargetProcessor:
         self.gc_percent = gc * 100
         self.genomesize = totlen / (1024 * 1024)
 
-        rng = np.random.default_rng(seed)
-        bases = np.array([2, 1, 0, 3], dtype=np.uint8)  # G, C, A, T codes
-        probs = [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2]
-
-        sort_seq: List[str] = []
-        sort_dist: List[float] = []
-        search_mult = 0
-        for search_mult in multiples:
-            m = n * search_mult
-            codes = rng.choice(bases, size=(m, length), replace=True, p=probs)
-            seqs = dna.decode_rows(codes)
-            dists, _ = self.index.query(seqs, k=1)
-            nearest = dists[:, 0].astype(np.int64)
-            order = np.argsort(-nearest, kind="stable")[:n]
-            sort_seq = [seqs[i] for i in order]
-            sort_dist = [float(nearest[i]) for i in order]
-            if int(min(sort_dist)) >= minimum_hmdist_target:
-                break
-        else:
-            raise IndexError(
-                "Could not find controls with minimum distance %d even with "
-                "a search pool of %d" % (minimum_hmdist_target, n * search_mult))
+        sort_seq, sort_dist, search_mult = self._control_search(
+            gc, length, n, multiples, minimum_hmdist_target, seed)
 
         self.ncontrolsearched = search_mult * n
         randomdf = pd.DataFrame(

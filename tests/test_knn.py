@@ -159,3 +159,129 @@ def test_index_save_load(tmp_path):
     d2, i2 = idx2.query(db[:5], 3)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(i1, i2)
+
+
+# ---------------------------------------------------------------------------
+# Genome-scale Levenshtein machinery (leven.py banded DP + dilated filter)
+# ---------------------------------------------------------------------------
+
+def _mutate(rng, s, n_sub, n_indel):
+    """Apply random edits to s, keeping the final length equal (pipeline
+    guides share one length): each indel is an insert+delete pair."""
+    chars = list(s)
+    for _ in range(n_sub):
+        i = rng.integers(0, len(chars))
+        chars[i] = rng.choice([c for c in "ACGT" if c != chars[i]])
+    for _ in range(n_indel):
+        i = rng.integers(0, len(chars))
+        del chars[i]
+        j = rng.integers(0, len(chars) + 1)
+        chars.insert(j, rng.choice(list("ACGT")))
+    return "".join(chars)
+
+
+@pytest.mark.parametrize("t", [1, 2, 4])
+def test_banded_leven_pairs_vs_oracle(t):
+    """Banded DP is exact below the band and clips to t+1 above it."""
+    import jax.numpy as jnp
+    from guidemaker_tpu.knn.leven import banded_leven_pairs
+    rng = np.random.default_rng(7 * t)
+    L = 20
+    a = _random_seqs(rng, 64, L)
+    # half near-duplicates (within band), half random (beyond band)
+    b = [_mutate(rng, s, int(rng.integers(0, t + 1)), int(rng.integers(0, 2)))
+         for s in a[:32]] + _random_seqs(rng, 32, L)
+    ac = np.stack([dna.encode(s) for s in a]).astype(np.uint8)
+    bc = np.stack([dna.encode(s) for s in b]).astype(np.uint8)
+    got = np.asarray(banded_leven_pairs(jnp.asarray(ac), jnp.asarray(bc),
+                                        t=t, length=L))
+    want = np.array([min(_oracle_leven(x, y), t + 1) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dilated_filter_is_sound():
+    """Any pair with leven < e must pass the two-sided dilated-match
+    filter: dot(q_feat, db_feat) >= 2(L - (e-1))."""
+    from guidemaker_tpu.knn.leven import _filter_feats
+    rng = np.random.default_rng(13)
+    L = 20
+    for e in (2, 3, 5):
+        t = e - 1
+        base = _random_seqs(rng, 40, L)
+        close = [_mutate(rng, s, int(rng.integers(0, t + 1)),
+                         int(rng.integers(0, max(1, t))))
+                 for s in base]
+        keep = [(a, b) for a, b in zip(base, close)
+                if _oracle_leven(a, b) < e]
+        assert keep, "fixture should produce close pairs"
+        qa = np.stack([dna.encode(a) for a, _ in keep]).astype(np.uint8)
+        db = np.stack([dna.encode(b) for _, b in keep]).astype(np.uint8)
+        qf = _filter_feats(qa, t, "q").astype(np.int32)
+        df = _filter_feats(db, t, "db").astype(np.int32)
+        dots = (qf * df).sum(axis=1)
+        assert (dots >= 2 * (L - t)).all()
+
+
+def test_leven_pass_filter_vs_bruteforce():
+    """The three-tier retention filter agrees with exact brute force."""
+    from guidemaker_tpu.knn.leven import leven_pass_filter
+    rng = np.random.default_rng(17)
+    L = 20
+    base = _random_seqs(rng, 150, L)
+    # inject clusters of near-duplicates so some guides fail retention
+    clustered = []
+    for s in base[:30]:
+        clustered.append(_mutate(rng, s, 1, 0))
+        clustered.append(_mutate(rng, s, 0, 1))
+    seqs = list(dict.fromkeys(base + clustered))
+    codes = np.stack([dna.encode(s) for s in seqs]).astype(np.uint8)
+    dm = np.array([[_oracle_leven(a, b) for b in seqs] for a in seqs])
+    np.fill_diagonal(dm, 10 ** 6)
+    for e in (2, 3):
+        got = leven_pass_filter(codes, codes, e)
+        want = dm.min(axis=1) >= e
+        np.testing.assert_array_equal(got, want)
+
+
+def test_leven_pass_filter_overflow_tier():
+    """filter_k=2 forces most ambiguous queries onto the exact-fallback
+    tier; results must not change."""
+    from guidemaker_tpu.knn.leven import leven_pass_filter
+    rng = np.random.default_rng(19)
+    L = 12
+    base = _random_seqs(rng, 30, L)
+    near = [_mutate(rng, s, 1, 0) for s in base[:10]]
+    seqs = list(dict.fromkeys(base + near))
+    codes = np.stack([dna.encode(s) for s in seqs]).astype(np.uint8)
+    dm = np.array([[_oracle_leven(a, b) for b in seqs] for a in seqs])
+    np.fill_diagonal(dm, 10 ** 6)
+    got = leven_pass_filter(codes, codes, 3, filter_k=2)
+    np.testing.assert_array_equal(got, dm.min(axis=1) >= 3)
+
+
+def test_knn_index_leven_filter_matches_query_path():
+    """KnnIndex.pass_distance_filter (leven) equals the k=2 query rule."""
+    rng = np.random.default_rng(23)
+    seqs = list(dict.fromkeys(
+        _random_seqs(rng, 120, 20)
+        + [_mutate(rng, s, 1, 0) for s in _random_seqs(rng, 20, 20)]))
+    idx = KnnIndex(seqs, "leven")
+    got = idx.pass_distance_filter(seqs, editdist=3)
+    d, _ = idx.query(seqs, k=2)
+    want = (d[:, 1] >= 0) & (d[:, 1] >= 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_leven_topk_single_dispatch_multi_tile():
+    """The scanned query-tile driver agrees with the oracle across
+    several query tiles."""
+    rng = np.random.default_rng(29)
+    q = _random_seqs(rng, 300, 14)
+    db = _random_seqs(rng, 500, 14)
+    qa = np.stack([dna.encode(s) for s in q]).astype(np.uint8)
+    da = np.stack([dna.encode(s) for s in db]).astype(np.uint8)
+    dists, idx = leven_topk(qa, da, 3, db_tile=128, q_tile=128)
+    dm = np.array([[_oracle_leven(a, b) for b in db] for a in q])
+    dw, iw = _topk_oracle(dm, 3)
+    np.testing.assert_array_equal(dists, dw)
+    np.testing.assert_array_equal(idx, iw)
