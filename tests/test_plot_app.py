@@ -39,18 +39,83 @@ def test_plot_writes_html_per_accession(tmp_path):
     assert "vega-embed" in html and "Guide Density" in html
 
 
-def test_app_gates_cleanly_without_streamlit():
-    # importing the app module without streamlit must raise a clear
-    # SystemExit, not an opaque ImportError mid-render
-    code = ("import importlib.util, sys;"
-            "spec = importlib.util.find_spec('streamlit');"
-            "sys.exit(0 if spec is not None else 42)")
-    have = subprocess.run([sys.executable, "-c", code]).returncode == 0
-    if have:
-        pytest.skip("streamlit installed; gating not applicable")
-    proc = subprocess.run(
-        [sys.executable, "-c", "import guidemaker_tpu.app"],
-        capture_output=True, text=True,
-        env={**os.environ, "PYTHONPATH": os.getcwd()})
-    assert proc.returncode == 1
-    assert "streamlit" in proc.stderr
+def test_app_imports_without_streamlit():
+    """The app module imports cleanly (streamlit is lazy, main-only)."""
+    import guidemaker_tpu.app as app
+    assert callable(app.main)
+    args = app.build_cli_args(workdir="/tmp/x", logfile="/tmp/x.log",
+                              genbank=["g.gbk"], restriction_enzymes=["NGRT"],
+                              scoring=True)
+    assert "--genbank" in args and "--cfd_score" in args
+    assert args[args.index("--restriction_enzyme_list") + 1] == "NGRT"
+    f = app.build_cli_args(workdir="/tmp/x", logfile="/tmp/x.log",
+                           fasta=["a.fa"], gff=["a.gff"], scoring=False)
+    assert "--fasta" in f and "--gff" in f and "--cfd_score" not in f
+
+
+class _Expander:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class FakeStreamlit:
+    """Headless streamlit stand-in: widgets return their defaults, the
+    SUBMIT button fires once, every render call is recorded."""
+
+    def __init__(self):
+        self.calls = []
+        self.sidebar = self
+        self._buttons = {"SUBMIT": True}
+
+    # widgets -----------------------------------------------------------
+    def file_uploader(self, label, **kw):
+        return []
+
+    def selectbox(self, label, options, **kw):
+        return options[0]
+
+    def text_input(self, label, value="", **kw):
+        return value
+
+    def number_input(self, label, mn, mx, value=None, **kw):
+        return value if value is not None else mn
+
+    def checkbox(self, label, value=False, **kw):
+        return value
+
+    def button(self, label, **kw):
+        return self._buttons.get(label, False)
+
+    def expander(self, *a, **kw):
+        return _Expander()
+
+    # render calls ------------------------------------------------------
+    def _record(self, kind):
+        def f(*a, **kw):
+            self.calls.append((kind, a[0] if a else None))
+        return f
+
+    def __getattr__(self, name):
+        # markdown, info, error, subheader, dataframe, vega_lite_chart, ...
+        return self._record(name)
+
+
+def test_app_headless_smoke(tmp_path, monkeypatch):
+    """Drive main() end-to-end on the bundled Carsonella demo genome:
+    the app must run the CLI, render charts + tables + download links,
+    and show the parameter dictionary and protocol pages."""
+    import guidemaker_tpu.app as app
+    monkeypatch.chdir(tmp_path)
+    fake = FakeStreamlit()
+    fake._buttons["SUBMIT"] = True
+    app.main(st=fake)
+    kinds = [k for k, _ in fake.calls]
+    assert "vega_lite_chart" in kinds, "per-accession chart not rendered"
+    assert "dataframe" in kinds, "targets table not rendered"
+    assert "error" not in kinds, [c for c in fake.calls if c[0] == "error"]
+    blobs = " ".join(str(v) for _, v in fake.calls)
+    assert "download=" in blobs and "targets.csv.gz" in blobs
+    assert "Parameter" in blobs or "PAM motif" in blobs
