@@ -282,6 +282,19 @@ def _smap(mesh, in_specs, out_specs):
                                  out_specs=out_specs, check_rep=False)
 
 
+def _put_global(arr_np: np.ndarray, sharding: NamedSharding):
+    """Create a (possibly multi-process) global device array.
+
+    Single-process: plain device_put.  Multi-process SPMD (after
+    ``init_distributed``): every host holds the full numpy array and
+    contributes its addressable shards — the standard multi-host input
+    pattern for data every host can cheaply (re)compute."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr_np), sharding)
+    return jax.make_array_from_callback(
+        arr_np.shape, sharding, lambda idx: arr_np[idx])
+
+
 def _onehot_int8(codes):
     """uint8 codes -> lane-padded int8 one-hot (device-side, sharding-safe:
     row-wise ops only, so a (q|d)-sharded input stays sharded)."""
@@ -321,10 +334,10 @@ def prepare_db_sharded(codes: np.ndarray, mesh: Mesh, *,
     per_shard = -(-nd // (d_shards * db_tile)) * db_tile
     padded = _pad_code_rows(codes, per_shard * d_shards)
     row_sh = NamedSharding(mesh, P("d", None))
-    codes_dev = jax.device_put(jnp.asarray(padded), row_sh)
+    codes_dev = _put_global(padded, row_sh)
     db_oh = jax.jit(_onehot_int8, out_shardings=row_sh)(codes_dev)
-    offsets = jax.device_put(
-        jnp.arange(d_shards, dtype=jnp.int32) * per_shard,
+    offsets = _put_global(
+        np.arange(d_shards, dtype=np.int32) * per_shard,
         NamedSharding(mesh, P("d")))
     return ShardedDb(mesh=mesh, db_oh=db_oh, offsets=offsets, nd=nd,
                      per_shard=per_shard, db_tile=db_tile, length=length)
@@ -337,7 +350,7 @@ def _put_queries(q_codes: np.ndarray, mesh: Mesh, q_tile: int):
     q_shards = mesh.devices.shape[0]
     padded = _pad_code_rows(q_codes, q_shards * q_tile)
     row_sh = NamedSharding(mesh, P("q", None))
-    codes_dev = jax.device_put(jnp.asarray(padded), row_sh)
+    codes_dev = _put_global(padded, row_sh)
     return jax.jit(_onehot_int8, out_shardings=row_sh)(codes_dev)
 
 

@@ -24,6 +24,19 @@ if not TPU_HW:
 
 import pytest  # noqa: E402
 
+# first-party coverage (no third-party tools in this environment):
+# GUIDEMAKER_COV=1 pytest tests/ -q  -> per-file table + coverage_guidemaker.json
+if os.environ.get("GUIDEMAKER_COV") == "1":
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import cov as _cov
+
+    _cov.start()
+
+    def pytest_sessionfinish(session, exitstatus):
+        _cov.report()
+
 
 def pytest_collection_modifyitems(config, items):
     if TPU_HW:

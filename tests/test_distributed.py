@@ -19,6 +19,40 @@ def test_device_summary():
     assert "device(s)" in s and "process(es)" in s
 
 
+def test_two_process_distributed():
+    """Real 2-process jax.distributed run (SURVEY §5): coordinator +
+    worker subprocesses, database sharded across both hosts' devices,
+    all_gather top-k merge and psum count crossing the process boundary
+    (the DCN path), byte-identical to the single-process oracle."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:          # pick a free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "_dist_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        assert "DIST OK" in out and "processes=2" in out
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_auto_mesh_and_sharded_query():
     mesh = auto_mesh()
