@@ -136,7 +136,16 @@ class KnnIndex:
                 if self._mesh is None:
                     self._mesh = auto_mesh()
                 return sharded_leven_topk(qc, self._codes, k, mesh=self._mesh)
-            return leven_topk(qc, self._codes, k)
+            if getattr(self, "_leven_db", None) is None:
+                import jax.numpy as jnp
+                from .hamming import _pad_rows
+                nd = len(self.seqs)
+                self._leven_tile = min(1024, max(128,
+                                                 1 << int(nd - 1).bit_length()))
+                self._leven_db = jnp.asarray(
+                    _pad_rows(self._codes, self._leven_tile))
+            return leven_topk(qc, self._codes, k, db_tile=self._leven_tile,
+                              db_dev=self._leven_db)
         if self.backend == "native":
             from .. import native
             if native.available():
@@ -242,20 +251,23 @@ class KnnIndex:
         return (dists[:, 1] >= 0) & (dists[:, 1] >= editdist)
 
     def count_within(self, codes, editdist: int):
-        """(nq,) int32 raw counts of database entries at distance
-        < ``editdist`` per query, or None when unsupported (Levenshtein,
-        native backend) — callers fall back to an exact k=1/k=2 query.
+        """(nq,) int32 raw counts of database entries at HAMMING distance
+        < ``editdist`` per query, or None when unsupported (native
+        backend) — callers fall back to an exact k=1/k=2 query.
 
         Unlike :meth:`pass_distance_filter`, no membership precondition:
-        these are plain counts (``count == 0`` <=> nearest >= editdist),
-        used by the control-guide search to triage huge candidate pools
-        with one VPU pass per pair and a tiny device->host transfer.
-        ``codes`` may be a host array or a device-resident one (the
-        control sampler generates candidates on device — no host->device
-        candidate traffic at all).
+        these are plain counts (``count == 0`` <=> hamming nearest >=
+        editdist), used by the control-guide search to triage huge
+        candidate pools with one VPU pass per pair and a tiny
+        device->host transfer.  The counter is meaningful on a Levenshtein
+        index too: leven <= hamming always, so ``count > 0`` soundly
+        implies a Levenshtein neighbor closer than ``editdist`` (callers
+        must still verify the survivors exactly).  ``codes`` may be a
+        host array or a device-resident one (the control sampler
+        generates candidates on device — no host->device candidate
+        traffic at all).
         """
-        if self.metric != "hamming" or self.backend == "native" \
-                or editdist > self.length:
+        if self.backend == "native" or editdist > self.length:
             return None
         import jax
         import jax.numpy as jnp

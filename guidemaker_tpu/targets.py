@@ -309,8 +309,11 @@ class TargetProcessor:
           (the reference ranks its keepers by exact distance — on a
           successful rung the top-n most distant ARE passers, so the
           selection is identical to the reference's sort-all-then-take-n);
-        * Levenshtein (or the native backend) falls back to exact k=1 for
-          the whole rung, like the reference.
+        * on a Levenshtein index the counting triage is still sound
+          (leven <= hamming, so a close Hamming hit proves a close
+          Levenshtein hit); survivors get exact leven k=1 distances and
+          the final min >= target check enforces the exact semantics;
+        * the native backend falls back to exact k=1 for the whole rung.
         """
         import jax
         import jax.numpy as jnp

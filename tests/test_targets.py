@@ -172,3 +172,39 @@ def test_neighbors_setter_invalidates_arrays(configpath):
     assert tl._nb_dists is None and tl._nb_idxs is None
     frame = tl.neighbor_frame(keep)
     assert frame["Guide sequence"].tolist() == keep
+
+
+def test_get_control_seqs_leven(genome_fasta, configpath):
+    """Controls on a Levenshtein index: the hamming counting triage is a
+    sound bound (leven <= hamming); reported distances must be the exact
+    Levenshtein nearest-target distances and >= MINIMUM_HMDIST."""
+    import numpy as np
+    from guidemaker_tpu import dna
+
+    pamobj = PamTarget("NGG", "5prime", "leven")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=3)
+    tl.check_restriction_enzymes([])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    cmin, cmed, df = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                         length=20, n=20, num_threads=2,
+                                         configpath=configpath, seed=3)
+    assert cmin >= 7 and df.shape == (20, 3)
+    # verify reported values = exact leven nearest via the index itself
+    d, _ = tl.index.query(df["Sequences"].tolist(), k=1)
+    np.testing.assert_array_equal(
+        d[:, 0], df["Hamming distance"].to_numpy().astype(np.int32))
+    # spot-check 3 controls against the pure-python DP oracle
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    for s, want in list(zip(df["Sequences"], df["Hamming distance"]))[:3]:
+        best = min(lev(s, t) for t in tl.index.seqs)
+        assert best == int(want)
