@@ -148,8 +148,10 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
 # candidates fall back to an exact k=2 full-DP query.
 # ---------------------------------------------------------------------------
 
-#: filter top-k candidate budget (kernel output lane width)
-_FILTER_K = 64
+#: filter top-k candidate budget.  Small on purpose: the in-kernel merge
+#: unrolls k min-extraction rounds (a k=64 program blew past the TPU
+#: compile helper); queries with more candidates take the exact fallback.
+_FILTER_K = 16
 
 
 def dilated_onehot(codes: np.ndarray, t: int, lanes: int = 128) -> np.ndarray:
@@ -181,10 +183,33 @@ def dilated_onehot(codes: np.ndarray, t: int, lanes: int = 128) -> np.ndarray:
 
 def _filter_feats(codes: np.ndarray, t: int, side: str) -> np.ndarray:
     """Two-sided filter features: queries carry [oh; dil], database rows
-    carry [dil; oh], so one dot product evaluates both direction sums."""
+    carry [dil; oh], so one dot product evaluates both direction sums.
+    (Host/numpy variant — the soundness oracle; production uses
+    :func:`_feat_halves_on_device`.)"""
     oh = dilated_onehot(codes, 0)
     dil = dilated_onehot(codes, t)
     return np.concatenate([oh, dil] if side == "q" else [dil, oh], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _feat_halves_on_device(codes, *, t):
+    """uint8 codes -> (plain, dilated) lane-padded int8 one-hot halves,
+    built on device (the host variant cost ~30 s + a 600 MB transfer at
+    genome scale).  Padding codes (>= 4) one-hot to zero rows."""
+    n, length = codes.shape
+    oh = jax.nn.one_hot(codes, 4, dtype=jnp.int8)          # (n, L, 4)
+    dil = oh
+    for s in range(1, t + 1):
+        fwd = jnp.pad(oh, ((0, 0), (s, 0), (0, 0)))[:, :length]
+        back = jnp.pad(oh, ((0, 0), (0, s), (0, 0)))[:, s:]
+        dil = jnp.maximum(dil, jnp.maximum(fwd, back))
+    ohf = oh.reshape(n, 4 * length)
+    dilf = dil.reshape(n, 4 * length)
+    pad = -(4 * length) % 128
+    if pad:
+        ohf = jnp.pad(ohf, ((0, 0), (0, pad)))
+        dilf = jnp.pad(dilf, ((0, 0), (0, pad)))
+    return ohf, dilf
 
 
 _BIG = np.int32(1 << 20)
@@ -226,45 +251,6 @@ def banded_leven_pairs(a: jnp.ndarray, b: jnp.ndarray, *, t: int,
     return jnp.minimum(B[:, t], t + 1)                     # o=0 -> j=L
 
 
-def _stream_feat_count(q_feat, db_feat, thresh_dist, two_l, *,
-                       interpret=None):
-    """count(dot < threshold) via the streaming counting kernel, on raw
-    feature matrices (used with the dilated-filter encoding)."""
-    from .pallas_stream import _stream_count
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    nq, nd = q_feat.shape[0], db_feat.shape[0]
-    db_tile = min(8192, max(128, 1 << (nd - 1).bit_length()))
-    q_tile = min(256, max(8, 1 << (nq - 1).bit_length()))
-    from .pallas_hamming import clamp_tiles
-    q_tile, db_tile = clamp_tiles(q_tile, db_tile)
-    q_dev = jnp.asarray(_pad_rows(q_feat, q_tile), dtype=jnp.int8)
-    db_dev = jnp.asarray(_pad_rows(db_feat, db_tile), dtype=jnp.int8)
-    counts = _stream_count(q_dev, db_dev, length=two_l,
-                           editdist=thresh_dist, q_tile=q_tile,
-                           db_tile=db_tile, interpret=interpret)
-    return fetch(counts[:nq, 0])
-
-
-def _stream_feat_topk(q_feat, db_feat, k, two_l, *, interpret=None):
-    """top-k smallest (2L - dot) pseudo-distances on raw feature matrices."""
-    from .pallas_stream import _stream_topk
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    nq, nd = q_feat.shape[0], db_feat.shape[0]
-    db_tile = min(8192, max(128, 1 << (nd - 1).bit_length()))
-    q_tile = min(256, max(8, 1 << (nq - 1).bit_length()))
-    from .pallas_hamming import clamp_tiles
-    q_tile, db_tile = clamp_tiles(q_tile, db_tile)
-    q_dev = jnp.asarray(_pad_rows(q_feat, q_tile), dtype=jnp.int8)
-    db_dev = jnp.asarray(_pad_rows(db_feat, db_tile), dtype=jnp.int8)
-    keys = _stream_topk(q_dev, db_dev, k=k, length=two_l, q_tile=q_tile,
-                        db_tile=db_tile, interpret=interpret)
-    _, idx = unpack_keys(fetch(keys[:nq, :k]))
-    idx[idx >= nd] = -1                      # padding rows
-    return idx
-
-
 def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
                       editdist: int, *, interpret=None,
                       filter_k: int = _FILTER_K) -> np.ndarray:
@@ -273,10 +259,16 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     (deduplicated database, every query a member).
 
     Three tiers: MXU dilated-filter counting (decides the overwhelming
-    majority of queries in one pass), banded-DP verification of the
+    majority of queries in one pass; pass <=> dot >= 2(L-t) <=>
+    pseudo-dist (2L - dot) <= 2t < 2e-1), banded-DP verification of the
     filter's candidate lists, and an exact full-DP k=2 fallback for
-    queries whose candidate list overflows ``filter_k``.
+    queries whose candidate list overflows ``filter_k``.  All feature
+    matrices are built on device from 2-bit codes.
     """
+    from .pallas_hamming import bucket_rows, clamp_tiles
+    from .pallas_stream import _stream_count, _stream_topk
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     nq, length = q_codes.shape
     nd = db_codes.shape[0]
     e = int(editdist)
@@ -286,20 +278,43 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
         # reference threshold core.py:517-522)
         return np.ones(nq, dtype=bool)
     t = e - 1
-    q_feat = _filter_feats(q_codes, t, "q")
-    db_feat = _filter_feats(db_codes, t, "db")
     two_l = 2 * length
-    # pass <=> dot >= 2(L - t) <=> pseudo-dist (2L - dot) <= 2t < 2e - 1
-    counts = _stream_feat_count(q_feat, db_feat, 2 * e - 1, two_l,
-                                interpret=interpret)
+    from .pallas_hamming import _pad_code_rows
+    db_tile = min(8192, max(128, 1 << (nd - 1).bit_length()))
+    q_tile = min(256, max(8, 1 << (nq - 1).bit_length()))
+    q_tile, db_tile = clamp_tiles(q_tile, db_tile)
+    db_oh, db_dil = _feat_halves_on_device(
+        jnp.asarray(_pad_code_rows(db_codes, db_tile)), t=t)
+    db_feat = jnp.concatenate([db_dil, db_oh], axis=1)
+    if q_codes is db_codes:
+        # all-vs-all: reuse the db halves (padded db rows are a pow2
+        # multiple of db_tile >= q_tile, so the q grid divides evenly;
+        # padding rows' counts are sliced off below)
+        q_oh, q_dil = db_oh, db_dil
+    else:
+        q_oh, q_dil = _feat_halves_on_device(
+            jnp.asarray(_pad_code_rows(q_codes,
+                                       bucket_rows(nq, q_tile))), t=t)
+    q_feat = jnp.concatenate([q_oh, q_dil], axis=1)
+    counts = fetch(_stream_count(
+        q_feat, db_feat, length=two_l, editdist=2 * e - 1,
+        q_tile=q_tile, db_tile=db_tile, interpret=interpret)[:nq, 0])
     passed = counts <= 1
     ambig = np.flatnonzero((counts >= 2) & (counts <= filter_k))
     overflow = np.flatnonzero(counts > filter_k)
 
     if ambig.size:
         k_eff = min(filter_k, nd)
-        cand = _stream_feat_topk(q_feat[ambig], db_feat, k_eff, two_l,
-                                 interpret=interpret)       # (na, k_eff)
+        qa_feat = jnp.take(q_feat, jnp.asarray(ambig), axis=0)
+        na_pad = bucket_rows(ambig.size, min(q_tile, 256))
+        if qa_feat.shape[0] < na_pad:
+            qa_feat = jnp.pad(qa_feat,
+                              ((0, na_pad - qa_feat.shape[0]), (0, 0)))
+        keys = _stream_topk(qa_feat, db_feat, k=k_eff, length=two_l,
+                            q_tile=min(q_tile, 256), db_tile=db_tile,
+                            interpret=interpret)
+        _, cand = unpack_keys(fetch(keys[:ambig.size, :k_eff]))
+        cand[cand >= nd] = -1                    # db padding rows
         qa = np.repeat(q_codes[ambig], k_eff, axis=0)
         ca = db_codes[np.clip(cand, 0, nd - 1)].reshape(-1, length)
         bd = fetch(banded_leven_pairs(jnp.asarray(qa), jnp.asarray(ca),
