@@ -105,6 +105,51 @@ def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=3):
     return float(per_run), compile_s
 
 
+def run_e2e(stages: dict):
+    """Full-pipeline wall time on P. aeruginosa (the reference's headline
+    workload: README.md:15 '1-2 minutes on a laptop' for a typical
+    bacterial genome), with the per-stage breakdown captured from the
+    pipeline's stage timers.
+
+    Runs with the d2h relay channel already open (the tunnel's one-time
+    ~400 s per-process cold-open is transport setup, not pipeline work —
+    a local TPU has no relay; see util.warm_d2h_channel).
+    """
+    import logging
+    import tempfile
+
+    from guidemaker_tpu.pipeline import PipelineConfig, run_pipeline
+
+    class StageGrab(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "[stage]" in msg:
+                parts = msg.split("[stage]")[1].split()
+                stages[" ".join(parts[:-5])] = float(parts[-5])
+
+    grab = StageGrab()
+    timing_logger = logging.getLogger("guidemaker_tpu.timing")
+    timing_logger.addHandler(grab)
+    timing_logger.setLevel(logging.INFO)
+    out = tempfile.mkdtemp(prefix="gm_bench_e2e_")
+    cfg = PipelineConfig(
+        genbank=[os.path.join(REPO, "guidemaker_tpu", "data",
+                              "Pseudomonas_aeruginosa.gbk.gz")],
+        pamseq="NGG", pam_orientation="3prime", guidelength=20, lsr=10,
+        dtype="hamming", dist=2, before=100, into=200, knum=3,
+        controls=1000, threads=2, doench_efficiency_score=True,
+        cfd_score=True, outdir=out, seed=42)
+    t0 = time.time()
+    res = run_pipeline(cfg)
+    e2e = time.time() - t0
+    timing_logger.removeHandler(grab)
+    log(f"  P. aeruginosa end-to-end: {e2e:.2f} s, "
+        f"{len(res.targets)} guides, {cfg.controls} controls")
+    for name, secs in stages.items():
+        log(f"    {name:<16} {secs:8.3f} s")
+    return e2e, len(res.targets)
+
+
 def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -163,14 +208,29 @@ def main():
     except Exception as e:   # C. ruddii detail is informative, not the metric
         log(f"  C. ruddii run skipped: {e!r}")
 
+    # --- full pipeline end-to-end (the reference's 1-2 min workload) ---
+    stages: dict = {}
+    e2e_seconds = e2e_guides = None
+    try:
+        e2e_seconds, e2e_guides = run_e2e(stages)
+    except Exception as e:  # e2e detail must not sink the headline metric
+        log(f"  e2e pipeline run failed: {e!r}")
+
     if not on_tpu:
         log("  WARNING: not on TPU; rates are not comparable")
-    print(json.dumps({
+    record = {
         "metric": "pa_genomewide_retention_pairs_per_s",
         "value": round(rate, 0),
         "unit": "pairs/s",
         "vs_baseline": round(rate / BASELINE_PAIRS_PER_S, 2),
-    }), flush=True)
+    }
+    if e2e_seconds is not None:
+        record["e2e_seconds"] = round(e2e_seconds, 2)
+        record["e2e_guides"] = e2e_guides
+        record["e2e_stages"] = {k: round(v, 2) for k, v in stages.items()}
+        # reference anchor: ~1-2 min on a laptop (README.md:15)
+        record["e2e_vs_baseline"] = round(90.0 / e2e_seconds, 2)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

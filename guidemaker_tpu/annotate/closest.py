@@ -7,27 +7,43 @@ Implements exactly the semantics of::
     mapbed.closest(featurebed, d=True, fd=True, D="a", t="first")  # downstream
     mapbed.closest(featurebed, d=True, id=True, D="a", t="first")  # upstream
 
-with sorted inputs, i.e. for every guide interval (A) report the closest
-eligible feature (B), where
+with sorted inputs, as *observed* — derived, not assumed: the reference
+binary cannot run here, so the semantics were fixed empirically by
+searching the space of defensible ``closest`` interpretations for the one
+reproducing the reference test suite's pinned end-to-end artifacts
+((7074, 12) join, (900, 23) final table, (4, 23) locus filter —
+``/root/reference/tests/test_core.py:183-244``).  Exactly one admission
+semantics survives (see ``tools/derive_900.py`` and PARITY.md item 7):
 
-* ``-fd`` (force downstream) admits only *strictly downstream* features —
-  an overlapping feature is neither upstream nor downstream, so it is
-  skipped (this is what makes the reference's up/down row sets disjoint);
-* ``-id`` (ignore downstream) admits overlapping (distance 0) and strictly
-  upstream features;
-* bookended intervals (``b.start == a.end``) have distance 1 (bedtools
-  convention), overlap is 0;
-* sign per ``-D a`` (downstream positive, upstream negative, w.r.t. A's
-  strand: "downstream" of a minus-strand guide is the lower-coordinate side);
+* **orientation is strand-blind**: the reference's guide bed stores strand
+  in BED column 5 — the *score* slot (``core.py:525-543``) — so bedtools
+  parses no strand field at all and applies the ``-D a`` orientation rules
+  as if every guide were ``+``: *downstream = higher coordinates,
+  positive; upstream = lower coordinates, negative*, regardless of the
+  guide-strand string that rides along in the score column;
+* ``-fd`` admits only strictly-downstream features (``feature start >
+  guide end``) — overlapping and book-ended features are skipped;
+* ``-id`` admits overlapping features (distance 0) and strictly-upstream
+  features (``feature end < guide start``);
+* distance magnitude is the half-open gap (``fs - ge`` / ``gs - fe``);
+  book-ended intervals (gap 0) are invisible to both passes.  The
+  classic ``-d``-style "book-ended = 1" reading is refuted by the
+  reference's own (900, 23) assertion (it yields 899; the three
+  affected rows are named in PARITY.md).  An alternative reading
+  (book-ended counts as overlap + gap+1 distances) selects identical
+  rows with every non-overlap distance shifted by +1 and cannot be
+  distinguished by any artifact the reference pins; the gap form is
+  implemented;
 * ties broken by first B record in sorted file order (``-t first``);
-* a null row (".", -1, -1, ".", ".", distance -1) when no candidate exists.
+* a null row (".", -1, -1, ".", ".", distance -1) when no candidate
+  exists.
 
 The join is O((n+m) log m) numpy ``searchsorted`` work per chromosome —
 no subprocess, no temp files, trivially exact.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import pandas as pd
@@ -80,7 +96,12 @@ def closest_join_arrays(guides: pd.DataFrame, features: pd.DataFrame,
 def closest_join_raw(g_chrom, g_start, g_end, g_name, g_strand,
                      feats: Dict[str, dict], direction: str) -> dict:
     """Array-level closest pass: guides as (sorted) numpy columns,
-    features pre-prepared by :func:`_prep_features`."""
+    features pre-prepared by :func:`_prep_features`.
+
+    Orientation is strand-blind (see module docstring): "downstream"
+    means strictly higher coordinates for every guide; ``g_strand`` is
+    carried through to the output verbatim but never consulted.
+    """
     want_down = direction == "downstream"
     n = g_chrom.shape[0]
 
@@ -99,38 +120,32 @@ def closest_join_raw(g_chrom, g_start, g_end, g_name, g_strand,
         fs, fe = fc["fs"], fc["fe"]
         nfeat = fs.shape[0]
         gs, ge = g_start[sel], g_end[sel]
-        plus = g_strand[sel] == "+"
-
-        # --- first overlapping feature (if any): distance 0
-        j_ov = np.searchsorted(fc["prefmax"], gs, side="right")
-        has_ov = (j_ov < nfeat) & (np.where(j_ov < nfeat, fs[np.minimum(j_ov, nfeat - 1)], np.iinfo(np.int64).max) < ge)
-
-        # --- nearest non-overlapping feature on the right: fs >= ge
-        j_r = np.searchsorted(fs, ge, side="left")
-        has_r = j_r < nfeat
-        dist_r = np.where(has_r, fs[np.minimum(j_r, nfeat - 1)] - ge + 1, -1)
-
-        # --- nearest non-overlapping feature on the left: fe <= gs
-        j_l_e = np.searchsorted(fc["fe_sorted"], gs, side="right") - 1
-        has_l = j_l_e >= 0
-        j_l_e_first = fc["first_same_end"][np.maximum(j_l_e, 0)]
-        j_l = fc["e_order"][j_l_e_first]
-        dist_l = np.where(has_l, gs - fc["fe_sorted"][np.maximum(j_l_e, 0)] + 1, -1)
-
-        # pick side by direction x strand ("downstream" of + is the right side)
-        use_right = plus == want_down
-        has_side = np.where(use_right, has_r, has_l)
-        j_side = np.where(use_right, np.minimum(j_r, nfeat - 1), j_l)
-        dist_side = np.where(use_right, dist_r, dist_l)
 
         if want_down:
-            # -fd: strictly downstream only; overlaps are skipped
-            chosen_j, chosen_has, chosen_dist = j_side, has_side, dist_side
+            # -fd: strictly downstream only (fs > ge); overlapping and
+            # book-ended features are skipped; distance is the gap
+            j_r = np.searchsorted(fs, ge, side="right")
+            chosen_has = j_r < nfeat
+            chosen_j = np.minimum(j_r, nfeat - 1)
+            chosen_dist = np.where(chosen_has, fs[chosen_j] - ge, -1)
         else:
-            # -id: overlap (0) wins, else strictly upstream (negative)
-            chosen_j = np.where(has_ov, np.minimum(j_ov, nfeat - 1), j_side)
-            chosen_has = has_ov | has_side
-            chosen_dist = np.where(has_ov, 0, -dist_side)
+            # -id: first overlapping feature (distance 0) wins, else the
+            # nearest strictly-upstream feature (fe < gs, distance -gap)
+            j_ov = np.searchsorted(fc["prefmax"], gs, side="right")
+            has_ov = (j_ov < nfeat) & (
+                np.where(j_ov < nfeat, fs[np.minimum(j_ov, nfeat - 1)],
+                         np.iinfo(np.int64).max) < ge)
+
+            j_l_e = np.searchsorted(fc["fe_sorted"], gs, side="left") - 1
+            has_l = j_l_e >= 0
+            j_l_e_first = fc["first_same_end"][np.maximum(j_l_e, 0)]
+            j_l = fc["e_order"][j_l_e_first]
+            dist_l = np.where(has_l,
+                              gs - fc["fe_sorted"][np.maximum(j_l_e, 0)], -1)
+
+            chosen_j = np.where(has_ov, np.minimum(j_ov, nfeat - 1), j_l)
+            chosen_has = has_ov | has_l
+            chosen_dist = np.where(has_ov, 0, -dist_l)
 
         hit = sel[chosen_has]
         jj = chosen_j[chosen_has]

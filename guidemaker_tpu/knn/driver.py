@@ -22,6 +22,15 @@ from .leven import leven_topk
 STREAM_THRESHOLD = 65536
 
 
+def _use_packed(length: int) -> bool:
+    """Packed-pair kernels (2 guides per 128-lane row, pallas_packed.py)
+    apply to guide lengths <= 21 and halve MXU+DMA work per pair; opt out
+    with GUIDEMAKER_TPU_NO_PACKED=1 (falls back to the one-hot kernels)."""
+    from .pallas_packed import MAX_PACKED_LEN
+    return (length <= MAX_PACKED_LEN
+            and not os.environ.get("GUIDEMAKER_TPU_NO_PACKED"))
+
+
 def _default_backend() -> str:
     """Kernel backend: 'pallas' (fused, TPU), 'xla' (portable), 'native'
     (C++ popcount, CPU).  Selectable via GUIDEMAKER_TPU_KERNEL; defaults to
@@ -62,6 +71,8 @@ class KnnIndex:
         self._codes = codes.astype(np.uint8)
         self._db_dev = None   # device-resident padded database (lazy)
         self._db_tile = None
+        self._db_packed = None       # packed-pair database (pallas_packed)
+        self._db_packed_tile = None
         self._mesh = None     # device mesh (sharded backend, lazy)
         self._seqset = None   # frozenset(self.seqs), built on first use
 
@@ -78,6 +89,17 @@ class KnnIndex:
         if len(seqs) == len(self.seqs) and list(seqs) == self.seqs:
             return True
         return all(s in self._seqset for s in seqs)
+
+    def _ensure_packed_db(self) -> None:
+        """Device-resident packed-pair database (pallas_packed.py), built
+        once and reused by every streaming query/filter/count call."""
+        if self._db_packed is None:
+            from .pallas_packed import prepare_db_packed
+            n2 = -(-len(self.seqs) // 2)
+            self._db_packed_tile = min(
+                4096, max(128, 1 << int(max(n2, 2) - 1).bit_length()))
+            self._db_packed = prepare_db_packed(self._codes,
+                                                self._db_packed_tile)
 
     def _sharded_db(self):
         """Device-resident sharded database (built once, reused by every
@@ -158,6 +180,14 @@ class KnnIndex:
         if self.backend == "pallas":
             from . import pallas_hamming as ph
             stream = nd >= STREAM_THRESHOLD
+            if stream and _use_packed(self.length):
+                # packed-pair streaming kernels: 2 guides per db row
+                from .pallas_packed import packed_topk_device
+                self._ensure_packed_db()
+                return packed_topk_device(qc, self._db_packed, nd, k,
+                                          self.length,
+                                          db_tile=self._db_packed_tile,
+                                          q_tile=256)
             if self._db_dev is None:
                 # wide db tiles amortize the merge passes in the streaming
                 # kernel (swept on v5e: q256/d8192 = 0.24 T pairs/s)
@@ -222,9 +252,20 @@ class KnnIndex:
         if (self.metric == "hamming" and self.backend == "pallas"
                 and nd >= STREAM_THRESHOLD and editdist <= self.length
                 and counting_ok):
-            from .pallas_stream import stream_count_device
             from ..util import warm_d2h_channel
             warm_d2h_channel(wait=True)  # see query(): no cold dispatches
+            if _use_packed(self.length):
+                from .pallas_packed import packed_count_device
+                self._ensure_packed_db()
+                if len(seqs) == nd and list(seqs) == self.seqs:
+                    qc = self._codes        # all-vs-all: skip re-encoding
+                else:
+                    qc = self._encode_queries(seqs)
+                counts = packed_count_device(
+                    qc, self._db_packed, nd, editdist, self.length,
+                    db_tile=self._db_packed_tile)
+                return counts <= 1
+            from .pallas_stream import stream_count_device
             if self._db_dev is None:
                 self._db_tile = min(
                     8192, max(128, 1 << int(nd - 1).bit_length()))
@@ -282,6 +323,24 @@ class KnnIndex:
                 editdist)
         if self.backend == "pallas":
             from . import pallas_hamming as ph
+            if _use_packed(self.length):
+                from .pallas_packed import (clamp_packed_tiles,
+                                            packed_count_device, _query_rows)
+                from .pallas_hamming import bucket_rows
+                self._ensure_packed_db()
+                q_tile = clamp_packed_tiles(
+                    min(512, max(8, 1 << (nq - 1).bit_length())),
+                    self._db_packed_tile, merge=False)
+                dev = jnp.asarray(codes)
+                pad = bucket_rows(nq, q_tile) - nq
+                if pad:  # pad rows on device with INVALID=4 (tetra -> 0)
+                    dev = jnp.pad(dev, ((0, pad), (0, 0)),
+                                  constant_values=4)
+                q_dev = _query_rows(dev, length=self.length)
+                return packed_count_device(
+                    None, self._db_packed, nd, editdist, self.length,
+                    db_tile=self._db_packed_tile, q_tile=q_tile,
+                    q_dev=q_dev, nq=nq)
             from .pallas_stream import stream_count_device
             if self._db_dev is None:
                 self._db_tile = min(

@@ -1,10 +1,17 @@
 """Doench 2016 on-target efficiency scoring (TreeEnsemble in JAX).
 
 Replaces the reference's onnxruntime session (doench_predict.py:83-131) with
-a batched gather-based descent over the gradient-boosted trees extracted
-from the same model format: at each of ``max_depth`` steps every (sequence,
-tree) pair advances one level — no data-dependent control flow, static
-shapes, runs under ``jit`` on TPU or CPU.
+a batched vectorized descent over the gradient-boosted trees extracted from
+the same model format: at each level every (sequence, tree) pair advances
+one step via fancy-indexed gathers.
+
+The descent runs on the HOST in numpy, deliberately: the bundled model is
+100 trees x 15 nodes (~24 KB of tables) and evaluation is gather-bound —
+zero MXU work — so a device round trip (compile + transfer over a
+potentially tunneled link) costs orders of magnitude more than the ~0.5 s
+of host vector work for a million guides.  Exactness is unchanged: the
+float32 threshold comparisons and sequential float32 tree-order
+accumulation are identical operations in numpy and XLA.
 
 Bit-compatibility: thresholds are compared in float32 against the float32
 cast of the float64 feature matrix, and per-tree leaf weights are summed
@@ -14,14 +21,11 @@ sequentially in float32 in tree order — matching onnxruntime's accumulation
 """
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import os
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..definitions import DATA_DIR
@@ -48,133 +52,55 @@ def load_ensemble(model_file: Optional[str] = None) -> TreeEnsemble:
     return _ENSEMBLE_CACHE[path]
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
-def _tree_leaf_weights(x, feature, threshold, children, is_leaf, value,
-                       *, max_depth: int):
-    """Per-(sequence, tree) leaf weight after descending the trees.
+def _descend_trees(xf: np.ndarray, ens: "TreeEnsemble") -> np.ndarray:
+    """Per-(sequence, tree) leaf node id, vectorized numpy descent.
 
-    x: (B, F) float32; tree arrays as in TreeEnsemble -> (B, T) float32.
+    xf: (B, F) float32, Fortran-ordered (columns contiguous).  Returns
+    (B, T) intp node ids.  Descends tree-by-tree: per (tree, level) the
+    work is one contiguous column read + a scalar-threshold compare +
+    small-table gathers, which is far more cache-friendly than a
+    (B, T)-wide level-synchronous descent.  Comparisons are float32
+    ``xv <= thr`` — bit-identical to onnxruntime's branch rule
+    (BRANCH_LEQ) and to an XLA evaluation of the same arrays.
     """
-    n_trees = feature.shape[0]
-    batch = x.shape[0]
-    node = jnp.zeros((batch, n_trees), dtype=jnp.int32)
-    tree_ix = jnp.arange(n_trees)[None, :]
-    for _ in range(max_depth):
-        feat = feature[tree_ix, node]                       # (B, T)
-        thr = threshold[tree_ix, node]
-        leaf = is_leaf[tree_ix, node]
-        xv = jnp.take_along_axis(x, feat.reshape(batch, -1), axis=1)
-        go_true = xv <= thr
-        nxt = jnp.where(go_true, children[tree_ix, node, 0],
-                        children[tree_ix, node, 1])
-        node = jnp.where(leaf, node, nxt)
-    return value[tree_ix, node]
+    n_trees = ens.feature.shape[0]
+    out = np.empty((xf.shape[0], n_trees), dtype=np.intp)
+    for t in range(n_trees):
+        feature, threshold = ens.feature[t], ens.threshold[t]
+        left, right = ens.children[t, :, 0], ens.children[t, :, 1]
+        is_leaf = ens.is_leaf[t]
+        node = np.zeros(xf.shape[0], dtype=np.intp)
+        for _ in range(int(ens.max_depth)):
+            leaf = is_leaf[node]
+            if leaf.all():
+                break
+            feat = feature[node]
+            xv = np.take_along_axis(xf, feat[:, None], axis=1)[:, 0]
+            nxt = np.where(xv <= threshold[node], left[node], right[node])
+            node = np.where(leaf, node, nxt)
+        out[:, t] = node
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "wide_ids"))
-def _tree_leaf_nodes(x, feature, threshold, children, is_leaf,
-                     *, max_depth: int, wide_ids: bool = False):
-    """Per-(sequence, tree) *leaf node id* after descending the trees.
-
-    Returned as int8 when every node id fits (<128 nodes/tree — true for
-    the bundled 15-node model), else int16 (``wide_ids``, chosen by the
-    caller from ``feature.shape[1]``): the id matrix is small and
-    low-entropy, so the device→host transfer is cheap even through
-    tunneled transports, unlike the float32 leaf value matrix.  The host
-    maps ids to values and accumulates in exact tree order.
-    """
-    n_trees = feature.shape[0]
-    batch = x.shape[0]
-    node = jnp.zeros((batch, n_trees), dtype=jnp.int32)
-    tree_ix = jnp.arange(n_trees)[None, :]
-    for _ in range(max_depth):
-        feat = feature[tree_ix, node]                       # (B, T)
-        thr = threshold[tree_ix, node]
-        leaf = is_leaf[tree_ix, node]
-        xv = jnp.take_along_axis(x, feat.reshape(batch, -1), axis=1)
-        go_true = xv <= thr
-        nxt = jnp.where(go_true, children[tree_ix, node, 0],
-                        children[tree_ix, node, 1])
-        node = jnp.where(leaf, node, nxt)
-    return node.astype(jnp.int16 if wide_ids else jnp.int8)
-
-
-@functools.partial(jax.jit, static_argnames=("max_depth", "wide_ids"))
-def _tree_leaf_nodes_split(x_u8, x_f32, col_perm, feature, threshold,
-                           children, is_leaf, *, max_depth: int,
-                           wide_ids: bool = False):
-    """`_tree_leaf_nodes` over a compactly-transferred feature matrix:
-    integer-valued columns ship as uint8 (low-entropy, 4x smaller) and the
-    remaining float columns as float32; `col_perm` restores column order.
-    uint8→float32 conversion is exact, so descent results are unchanged."""
-    x = jnp.concatenate(
-        [x_u8.astype(jnp.float32), x_f32], axis=1)[:, col_perm]
-    return _tree_leaf_nodes.__wrapped__(
-        x, feature, threshold, children, is_leaf, max_depth=max_depth,
-        wide_ids=wide_ids)
-
-
-#: batch tile for tree descent: fixed shapes make the (slow, remote)
-#: XLA compile a one-time cost shared by every genome via the persistent
-#: compilation cache
-BATCH_TILE = 32768
+#: batch tile bounding the descent's (B, T) temporaries (~6 arrays)
+BATCH_TILE = 262144
 
 
 def ensemble_predict(ens: TreeEnsemble, features: np.ndarray,
                      int_col: Optional[np.ndarray] = None) -> np.ndarray:
     """Evaluate the ensemble; returns (B, 1) float32 like onnxruntime.
 
-    ``int_col`` (bool per column) marks columns exactly representable as
-    uint8; when the caller knows the feature layout (``predict`` passes
-    ``doench_features.INT_FEATURE_MASK``) this skips a full verification
-    pass over the feature matrix.
+    ``int_col`` is accepted for API stability and unused (it marked
+    uint8-representable columns for the retired device-transfer path).
     """
-    f32 = np.ascontiguousarray(features, dtype=np.float32)
-    n = f32.shape[0]
+    xf = np.asfortranarray(features, dtype=np.float32)
+    n = xf.shape[0]
     if n == 0:
         return np.zeros((0, 1), dtype=np.float32)
-    # node ids ship as int8 only when they cannot wrap (>127-node trees
-    # from arbitrary user .onnx files fall back to int16)
-    wide_ids = ens.feature.shape[1] > 127
-
-    # column split: small-integer columns travel as uint8
-    if int_col is None:
-        as_u8 = f32.astype(np.uint8)
-        int_col = (as_u8.astype(np.float32) == f32).all(axis=0)
-        u8_full = as_u8
-    else:
-        int_col = np.asarray(int_col, dtype=bool)
-        u8_full = None
-    u8_cols = np.flatnonzero(int_col)
-    f_cols = np.flatnonzero(~int_col)
-    order = np.concatenate([u8_cols, f_cols])
-    col_perm = jnp.asarray(np.argsort(order).astype(np.int32))
-    if u8_full is not None:
-        u8_block = np.ascontiguousarray(u8_full[:, u8_cols])
-    else:
-        u8_block = f32[:, u8_cols].astype(np.uint8)
-    f_block = np.ascontiguousarray(f32[:, f_cols])
-
-    tree_args = (jnp.asarray(ens.feature), jnp.asarray(ens.threshold),
-                 jnp.asarray(ens.children), jnp.asarray(ens.is_leaf))
     n_trees = ens.feature.shape[0]
-
-    tile = BATCH_TILE if n > BATCH_TILE else max(
-        8, 1 << int(n - 1).bit_length())
-    chunks = []
-    for lo in range(0, n, tile):
-        hi = min(lo + tile, n)
-        u8c = u8_block[lo:hi]
-        fc = f_block[lo:hi]
-        if hi - lo < tile:  # pad the tail chunk to the compiled shape
-            pad = tile - (hi - lo)
-            u8c = np.pad(u8c, ((0, pad), (0, 0)))
-            fc = np.pad(fc, ((0, pad), (0, 0)))
-        chunks.append(_tree_leaf_nodes_split(
-            jnp.asarray(u8c), jnp.asarray(fc), col_perm, *tree_args,
-            max_depth=ens.max_depth, wide_ids=wide_ids))
-    nodes = np.concatenate([np.asarray(c) for c in chunks],
-                           axis=0)[:n].astype(np.intp)       # (B, T)
+    nodes = np.concatenate(
+        [_descend_trees(xf[lo:lo + BATCH_TILE], ens)
+         for lo in range(0, n, BATCH_TILE)], axis=0)         # (B, T)
     w = ens.value[np.arange(n_trees)[None, :], nodes]        # (B, T) f32
     # sequential float32 accumulation in tree order (onnxruntime-compatible)
     score = np.zeros(n, dtype=np.float32)

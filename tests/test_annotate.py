@@ -1,14 +1,12 @@
 """Annotation subsystem tests: closest-join oracle + pipeline shape goldens.
 
-Shape goldens derive from the reference suite (test_core.py:169-244) where
-exactly reproducible: nearby (7074, 12), qualifiers (182, 7), locus filter
-(4, 23) all match the reference bit-for-bit.  The full pretty table is
-(867, 23) here vs the reference's (900, 23): the delta is duplicate
-annotation rows at feature boundaries arising from bedtools' -fd/-id flag
-interplay (the reference concatenates two bedtools passes; see
-annotate/closest.py docstring), not a difference in the designed guide set —
-the guide-level filtering decisions are verified identical to a brute-force
-oracle in test_knn/test_targets.
+Shape goldens derive from the reference suite (test_core.py:169-244) and
+all match the reference bit-for-bit: nearby (7074, 12), qualifiers
+(182, 7), pretty table (900, 23), locus filter (4, 23).  The closest-join
+semantics that reproduce (900, 23) were derived empirically (the
+reference's bedtools cannot run here) by exhaustive search over
+defensible `closest -fd/-id -D a` interpretations — see
+annotate/closest.py docstring, tools/derive_900.py, and PARITY.md item 7.
 """
 import numpy as np
 import pandas as pd
@@ -66,8 +64,7 @@ def test_format_guide_table(pipeline, configpath):
     anno._filter_features()
     anno._get_qualifiers(configpath=configpath)
     anno._format_guide_table(tl)
-    # deterministic exact-engine golden (reference: (900, 23); see module doc)
-    assert anno.pretty_df.shape == (867, 23)
+    assert anno.pretty_df.shape == (900, 23)  # reference golden
     assert anno.pretty_df.columns[:17].tolist() == [
         "Guide name", "Guide sequence", "GC", "dtype", "Accession",
         "Guide start", "Guide end", "Guide strand", "PAM", "Feature id",
@@ -99,11 +96,12 @@ def test_locuslen(pipeline):
 # ---------------------------------------------------------------------------
 
 def _brute_closest(guides, features, direction):
+    """Brute-force oracle of the derived semantics (closest.py docstring):
+    strand-blind orientation, gap distances, book-ended invisible."""
     rows = []
     feats = list(features.itertuples(index=False))
     for g in guides.itertuples(index=False):
         want_down = direction == "downstream"
-        right_side_is_dir = (g.strand == "+") == want_down
         best = None
         ov = None
         for order, f in enumerate(feats):
@@ -113,10 +111,10 @@ def _brute_closest(guides, features, direction):
                 if ov is None:
                     ov = (order, f, 0)
                 continue
-            if right_side_is_dir and f.chromStart >= g.chromend:
-                d = f.chromStart - g.chromend + 1
-            elif not right_side_is_dir and f.chromEnd <= g.chromstart:
-                d = g.chromstart - f.chromEnd + 1
+            if want_down and f.chromStart > g.chromend:
+                d = f.chromStart - g.chromend
+            elif not want_down and f.chromEnd < g.chromstart:
+                d = g.chromstart - f.chromEnd
             else:
                 continue
             if best is None or (d, order) < (best[2], best[0]):
@@ -168,10 +166,37 @@ def test_closest_join_no_features_on_chrom():
     assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
 
 
-def test_closest_join_bookended_distance_one():
+def test_closest_join_bookended_invisible():
+    """Book-ended features (gap 0, no overlap) are skipped by both passes
+    (the derived semantics; the classic "book-ended = 1" reading is
+    refuted by the reference's (900, 23) — PARITY.md item 7)."""
     guides = pd.DataFrame({"chrom": ["c1"], "chromstart": [10],
                            "chromend": [30], "name": ["g"], "strand": ["+"]})
     features = pd.DataFrame({"chrom": ["c1"], "chromStart": [30],
                              "chromEnd": [60], "name": ["f"], "strand": ["+"]})
     out = closest_join(guides, features, "downstream")
-    assert out.iloc[0][10] == 1  # bedtools bookended convention
+    assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
+    out = closest_join(guides, features, "upstream")
+    assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
+    # one base of separation: downstream picks it up at gap distance 1
+    features2 = features.assign(chromStart=[31])
+    out = closest_join(guides, features2, "downstream")
+    assert out.iloc[0][10] == 1
+
+
+def test_closest_join_strand_blind():
+    """A '-' guide's "downstream" is still the higher-coordinate side:
+    the reference's guide bed carries strand in the BED score column, so
+    bedtools applies -D a rules as if every guide were '+'."""
+    guides = pd.DataFrame({"chrom": ["c1"], "chromstart": [100],
+                           "chromend": [120], "name": ["g"],
+                           "strand": ["-"]})
+    features = pd.DataFrame({"chrom": ["c1", "c1"],
+                             "chromStart": [0, 150],
+                             "chromEnd": [50, 200],
+                             "name": ["left", "right"],
+                             "strand": ["+", "+"]})
+    down = closest_join(guides, features, "downstream")
+    assert down.iloc[0][8] == "right" and down.iloc[0][10] == 30
+    up = closest_join(guides, features, "upstream")
+    assert up.iloc[0][8] == "left" and up.iloc[0][10] == -50

