@@ -195,6 +195,35 @@ def main():
     log(f"  P. aeruginosa top-3 for {nsub} retained guides: "
         f"{tk:.2f} s e2e, {nsub*n2/tk/1e12:.2f} T pairs/s")
 
+    # --- Levenshtein at genome scale: retention + survivor top-k ---
+    leven_retention_rate = leven_topk_rate = None
+    try:
+        from guidemaker_tpu.knn.leven import leven_pass_filter, leven_topk
+        t0 = time.time()
+        passed = leven_pass_filter(pa_codes, pa_codes, 2)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        leven_pass_filter(pa_codes, pa_codes, 2)
+        tl_ = time.time() - t0
+        leven_retention_rate = pairs / tl_
+        log(f"  P. aeruginosa LEVEN retention (all-vs-all, {pairs:.3g} "
+            f"pairs): {tl_:.2f} s steady ({compile_s:.1f}s first call), "
+            f"{leven_retention_rate/1e12:.2f} T pairs/s, "
+            f"{int(passed.sum())} guides retained")
+        # survivor neighbor lists (phase 2): cummin-DP top-k rate on a
+        # 4096-query slice vs the full database
+        nsub_l = 4096
+        leven_topk(pa_codes[:nsub_l], pa_codes, 3)          # compile
+        t0 = time.time()
+        leven_topk(pa_codes[:nsub_l], pa_codes, 3)
+        tk_l = time.time() - t0
+        leven_topk_rate = nsub_l * n2 / tk_l
+        log(f"  P. aeruginosa LEVEN top-3 for {nsub_l} guides: "
+            f"{tk_l:.2f} s, {leven_topk_rate/1e9:.2f} G pairs/s "
+            f"(full-DP exact lists)")
+    except Exception as e:
+        log(f"  leven benchmark failed: {e!r}")
+
     # --- C. ruddii k=3 steady (direct HNSW-baseline comparison) ---
     try:
         cr = os.path.join(REPO, "tests", "test_data",
@@ -224,6 +253,10 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(rate / BASELINE_PAIRS_PER_S, 2),
     }
+    if leven_retention_rate is not None:
+        record["leven_retention_pairs_per_s"] = round(leven_retention_rate)
+    if leven_topk_rate is not None:
+        record["leven_topk_pairs_per_s"] = round(leven_topk_rate)
     if e2e_seconds is not None:
         record["e2e_seconds"] = round(e2e_seconds, 2)
         record["e2e_guides"] = e2e_guides

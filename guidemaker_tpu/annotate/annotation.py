@@ -150,17 +150,26 @@ class Annotation:
         g_end = mb["chromend"].to_numpy(dtype=np.int64)
         g_name = mb["name"].to_numpy()
         g_strand = mb["strand"].to_numpy()
-        chrom_sorted, chrom_codes = np.unique(g_chrom, return_inverse=True)
+        # factorize instead of np.unique: hash-based, no O(n log n) sort
+        # of millions of strings; the bed arrives chrom-sorted
+        # (export_bed), so appearance order == sorted order and the
+        # lexsort keys are unchanged
+        chrom_cat = pd.factorize(pd.Series(g_chrom), sort=True)
+        chrom_codes = chrom_cat[0]
         order = np.lexsort((g_end, g_start, chrom_codes))
-        g_chrom, g_start, g_end, g_name, g_strand = (
+        g_chrom, g_start, g_end, g_name, g_strand, chrom_codes = (
             g_chrom[order], g_start[order], g_end[order], g_name[order],
-            g_strand[order])
+            g_strand[order], chrom_codes[order])
+        chrom_groups = {str(c): np.nonzero(chrom_codes == i)[0]
+                        for i, c in enumerate(chrom_cat[1])}
 
         feats = _prep_features(featurebed)
         downstream = closest_join_raw(g_chrom, g_start, g_end, g_name,
-                                      g_strand, feats, "downstream")
+                                      g_strand, feats, "downstream",
+                                      chrom_groups=chrom_groups)
         upstream = closest_join_raw(g_chrom, g_start, g_end, g_name,
-                                    g_strand, feats, "upstream")
+                                    g_strand, feats, "upstream",
+                                    chrom_groups=chrom_groups)
         headers = ["Accession", "Guide start", "Guide end",
                    "Guide sequence", "Guide strand",
                    "Feature Accession", "Feature start",

@@ -94,13 +94,17 @@ def closest_join_arrays(guides: pd.DataFrame, features: pd.DataFrame,
 
 
 def closest_join_raw(g_chrom, g_start, g_end, g_name, g_strand,
-                     feats: Dict[str, dict], direction: str) -> dict:
+                     feats: Dict[str, dict], direction: str,
+                     chrom_groups: Dict[str, np.ndarray] = None) -> dict:
     """Array-level closest pass: guides as (sorted) numpy columns,
     features pre-prepared by :func:`_prep_features`.
 
     Orientation is strand-blind (see module docstring): "downstream"
     means strictly higher coordinates for every guide; ``g_strand`` is
     carried through to the output verbatim but never consulted.
+    ``chrom_groups`` optionally maps chrom -> guide row indices (callers
+    running both passes precompute it once instead of re-scanning the
+    string column per pass).
     """
     want_down = direction == "downstream"
     n = g_chrom.shape[0]
@@ -112,8 +116,11 @@ def closest_join_raw(g_chrom, g_start, g_end, g_name, g_strand,
     f_strand = np.full(n, ".", dtype=object)
     f_dist = np.full(n, -1, dtype=np.int64)
 
-    for chrom in pd.unique(pd.Series(g_chrom)):
-        sel = np.nonzero(g_chrom == chrom)[0]
+    if chrom_groups is None:
+        chrom_groups = {
+            str(c): np.nonzero(g_chrom == c)[0]
+            for c in pd.unique(pd.Series(g_chrom))}
+    for chrom, sel in chrom_groups.items():
         fc = feats.get(str(chrom))
         if fc is None:
             continue

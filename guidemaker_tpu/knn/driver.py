@@ -235,10 +235,17 @@ class KnnIndex:
                 and editdist <= self.length):
             # MXU dilated-filter counting + banded-DP verification (see
             # leven.leven_pass_filter); exact, and orders of magnitude
-            # cheaper than the full-DP k=2 query at genome scale
+            # cheaper than the full-DP k=2 query at genome scale.  On the
+            # sharded backend the counting pass runs over the mesh.
             from .leven import leven_pass_filter
+            mesh = None
+            if self.backend == "sharded":
+                from ..distributed import auto_mesh
+                if self._mesh is None:
+                    self._mesh = auto_mesh()
+                mesh = self._mesh
             return leven_pass_filter(self._encode_queries(seqs),
-                                     self._codes, editdist)
+                                     self._codes, editdist, mesh=mesh)
         if (self.metric == "hamming" and self.backend == "sharded"
                 and editdist <= self.length and counting_ok):
             from .sharded import fused_sharded_count

@@ -253,7 +253,7 @@ def banded_leven_pairs(a: jnp.ndarray, b: jnp.ndarray, *, t: int,
 
 def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
                       editdist: int, *, interpret=None,
-                      filter_k: int = _FILTER_K) -> np.ndarray:
+                      filter_k: int = _FILTER_K, mesh=None) -> np.ndarray:
     """(nq,) bool — is each query's 2nd-nearest Levenshtein neighbor at
     distance >= editdist?  Requires the driver's counting preconditions
     (deduplicated database, every query a member).
@@ -264,6 +264,14 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     filter's candidate lists, and an exact full-DP k=2 fallback for
     queries whose candidate list overflows ``filter_k``.  All feature
     matrices are built on device from 2-bit codes.
+
+    ``mesh``: when given, the O(nq x nd) counting pass runs sharded —
+    database features over the ``d`` mesh axis, queries over ``q``,
+    partial counts merged with one ``psum`` (knn/sharded.py; the count
+    rule is metric-agnostic matmul thresholding, so the hamming sharded
+    counter evaluates the dilated-filter features unchanged).  The
+    candidate-verification tiers stay single-device: they touch a few
+    hundred (query, candidate) pairs, not the n^2 pair space.
     """
     from .pallas_hamming import bucket_rows, clamp_tiles
     from .pallas_stream import _stream_count, _stream_topk
@@ -296,9 +304,17 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
             jnp.asarray(_pad_code_rows(q_codes,
                                        bucket_rows(nq, q_tile))), t=t)
     q_feat = jnp.concatenate([q_oh, q_dil], axis=1)
-    counts = fetch(_stream_count(
-        q_feat, db_feat, length=two_l, editdist=2 * e - 1,
-        q_tile=q_tile, db_tile=db_tile, interpret=interpret)[:nq, 0])
+    if mesh is not None:
+        from .sharded import sharded_hamming_count
+        counts = sharded_hamming_count(
+            np.asarray(q_feat)[:nq], np.asarray(db_feat),
+            editdist=2 * e - 1, length=two_l, mesh=mesh)[:nq]
+        # db padding rows: all-zero features -> dot 0 -> pseudo-dist 2L
+        # >= 2e-1, never counted (same invariant as the fused path)
+    else:
+        counts = fetch(_stream_count(
+            q_feat, db_feat, length=two_l, editdist=2 * e - 1,
+            q_tile=q_tile, db_tile=db_tile, interpret=interpret)[:nq, 0])
     passed = counts <= 1
     ambig = np.flatnonzero((counts >= 2) & (counts <= filter_k))
     overflow = np.flatnonzero(counts > filter_k)

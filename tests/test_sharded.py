@@ -159,3 +159,62 @@ def test_sharded_count_matches_oracle():
         for e in (1, 2, 5):
             counts = sharded_hamming_count(oh, oh, e, 20, mesh=mesh)
             np.testing.assert_array_equal(counts, (dist < e).sum(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein sharded tiers (VERDICT r2: sharded_leven_topk had no tests)
+# ---------------------------------------------------------------------------
+
+def _codes(rng, n, length):
+    return rng.integers(0, 4, size=(n, length)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("q_shards,d_shards", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_leven_topk_matches_single_device(q_shards, d_shards):
+    from guidemaker_tpu.knn.leven import leven_topk
+    from guidemaker_tpu.knn.sharded import sharded_leven_topk
+    rng = np.random.default_rng(q_shards * 100 + d_shards)
+    q = _codes(rng, 48, 20)
+    db = _codes(rng, 700, 20)
+    mesh = make_mesh(q_shards, d_shards)
+    d_sh, i_sh = sharded_leven_topk(q, db, 4, mesh=mesh, db_tile=128)
+    d_1, i_1 = leven_topk(q, db, 4, db_tile=128)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+
+
+def test_sharded_leven_topk_unaligned_and_k_exceeds():
+    from guidemaker_tpu.knn.leven import leven_topk
+    from guidemaker_tpu.knn.sharded import sharded_leven_topk
+    rng = np.random.default_rng(17)
+    q = _codes(rng, 19, 13)
+    db = _codes(rng, 5, 13)
+    mesh = make_mesh(2, 4)
+    d_sh, i_sh = sharded_leven_topk(q, db, 7, mesh=mesh, db_tile=64)
+    d_1, i_1 = leven_topk(q, db, 7, db_tile=64)
+    np.testing.assert_array_equal(d_sh, d_1)
+    np.testing.assert_array_equal(i_sh, i_1)
+    assert (d_sh[:, 5:] == -1).all()
+
+
+@pytest.mark.parametrize("d_shards", [4, 8])
+def test_sharded_leven_pass_filter_matches_single_device(d_shards):
+    from guidemaker_tpu.knn.leven import leven_pass_filter
+    rng = np.random.default_rng(d_shards)
+    # deduplicated db; queries are members (driver preconditions)
+    db = np.unique(_codes(rng, 400, 20), axis=0)
+    mesh = make_mesh(8 // d_shards, d_shards)
+    got = leven_pass_filter(db, db, 3, mesh=mesh)
+    want = leven_pass_filter(db, db, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_driver_sharded_leven_retention_routes_through_mesh():
+    from guidemaker_tpu.knn.driver import KnnIndex
+    rng = np.random.default_rng(23)
+    seqs = list(dict.fromkeys(dna.decode_rows(_codes(rng, 300, 20))))
+    idx = KnnIndex(seqs, metric="leven", backend="sharded")
+    got = idx.pass_distance_filter(seqs, 3)
+    exact = KnnIndex(seqs, metric="leven", backend="xla")
+    want = exact.pass_distance_filter(seqs, 3)
+    np.testing.assert_array_equal(got, want)
