@@ -167,7 +167,7 @@ def main():
     warm_d2h_channel(wait=True)   # executable/result downloads need it open
     db_tile = 8192
     dbb = prepare_db_codes(pa_codes, db_tile)
-    args = dict(db_tile=db_tile, q_tile=256, q_dev=dbb, nq=int(dbb.shape[0]))
+    args = dict(db_tile=db_tile, q_tile=1024, q_dev=dbb, nq=int(dbb.shape[0]))
     t0 = time.time()
     counts = stream_count_device(None, dbb, n2, 2, 20, **args)  # + compile
     compile_s = time.time() - t0

@@ -186,9 +186,10 @@ class Annotation:
             if i in (4, 9):   # strand columns must share categories so
                 # the filters compare across frames; GFF also allows '?'
                 # (or arbitrary text) — union observed values in so
-                # nothing is silently coerced to NaN
+                # nothing is silently coerced to NaN (pd.unique: hash-
+                # based, np.unique would sort millions of strings)
                 strand_cats = ["+", "-", "."] + sorted(
-                    set(np.unique(both)) - {"+", "-", "."})
+                    set(pd.unique(both)) - {"+", "-", "."})
                 cols[name] = pd.Categorical(both, categories=strand_cats)
             elif i in (0, 5, 8):
                 cols[name] = pd.Categorical(both)

@@ -24,11 +24,15 @@ STREAM_THRESHOLD = 65536
 
 def _use_packed(length: int) -> bool:
     """Packed-pair kernels (2 guides per 128-lane row, pallas_packed.py)
-    apply to guide lengths <= 21 and halve MXU+DMA work per pair; opt out
-    with GUIDEMAKER_TPU_NO_PACKED=1 (falls back to the one-hot kernels)."""
+    halve MXU+DMA work per pair for guide lengths <= 21, but measured on
+    v5e the scale-decode makes the counting kernel VPU-bound (0.42 vs
+    1.25 T pairs/s for the one-hot kernel; see docs/SCALING.md) — so they
+    are opt-in via GUIDEMAKER_TPU_PACKED=1, kept as the memory-lean
+    option (half the resident database bytes) and as the proof point
+    that the lane padding is not the binding constraint."""
     from .pallas_packed import MAX_PACKED_LEN
     return (length <= MAX_PACKED_LEN
-            and not os.environ.get("GUIDEMAKER_TPU_NO_PACKED"))
+            and bool(os.environ.get("GUIDEMAKER_TPU_PACKED")))
 
 
 def _default_backend() -> str:
@@ -282,14 +286,14 @@ class KnnIndex:
                 # all-vs-all: reuse the resident database one-hot
                 counts = stream_count_device(
                     None, self._db_dev, nd, editdist, self.length,
-                    db_tile=self._db_tile, q_tile=256,
+                    db_tile=self._db_tile, q_tile=1024,
                     q_dev=self._db_dev, nq=nd)
             else:
                 qc = self._encode_queries(seqs)
                 counts = stream_count_device(qc, self._db_dev, nd, editdist,
                                              self.length,
                                              db_tile=self._db_tile,
-                                             q_tile=256)
+                                             q_tile=1024)
             # dists[1] >= editdist  <=>  count(dist < editdist) <= 1: for
             # editdist > 0 the self-hit always contributes exactly 1; for
             # editdist == 0 nothing does and every query passes (matching
@@ -354,7 +358,7 @@ class KnnIndex:
                     8192, max(128, 1 << int(nd - 1).bit_length()))
                 self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
             q_tile, _ = ph.clamp_tiles(
-                min(256, max(8, 1 << (nq - 1).bit_length())), self._db_tile)
+                min(1024, max(8, 1 << (nq - 1).bit_length())), self._db_tile)
             dev = jnp.asarray(codes)
             pad = (-nq) % q_tile
             if pad:   # pad rows on device with INVALID=4 (one-hots to zero)

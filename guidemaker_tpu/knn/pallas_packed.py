@@ -67,10 +67,18 @@ def pack_scale(length: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("length",))
 def _tetra_rows(codes, *, length: int) -> jnp.ndarray:
-    """(n, L) uint8 codes -> (n, 3L) int8 tetrahedron rows (invalid -> 0)."""
-    t = jnp.take(jnp.asarray(_TETRA), jnp.minimum(codes, 4).astype(jnp.int32),
-                 axis=0)                                    # (n, L, 3)
-    return t.reshape(codes.shape[0], 3 * length)
+    """(n, L) uint8 codes -> (n, 3L) int8 tetrahedron rows (invalid -> 0).
+
+    Component-major lane order [x(L) | y(L) | z(L)]: any fixed lane
+    permutation preserves the dot products as long as queries and the
+    database share it, and per-component (5,)-table gathers keep every
+    intermediate at (n, L) — an (n, L, 3) gather would be lane-padded
+    3 -> 128 by the TPU layout (42x memory at genome scale).
+    """
+    idx = jnp.minimum(codes, 4).astype(jnp.int32)
+    table = jnp.asarray(_TETRA)
+    return jnp.concatenate(
+        [jnp.take(table[:, c], idx) for c in range(3)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("length",))

@@ -102,13 +102,14 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         tempdir = tempfile.mkdtemp(prefix="guidemaker_")
         owns_tempdir = True
     try:
-        if cfg.genbank:
-            logger.info("Writing fasta file from genbank file(s)")
-            fastapath = get_fastas(cfg.genbank, input_format="genbank",
-                                   tempdir=tempdir)
-        else:
-            fastapath = get_fastas(cfg.fasta, input_format="fasta",
-                                   tempdir=tempdir)
+        with stage_timer("fasta conversion"):
+            if cfg.genbank:
+                logger.info("Writing fasta file from genbank file(s)")
+                fastapath = get_fastas(cfg.genbank, input_format="genbank",
+                                       tempdir=tempdir)
+            else:
+                fastapath = get_fastas(cfg.fasta, input_format="fasta",
+                                       tempdir=tempdir)
 
         # open the device->host relay channel now so its one-time cold
         # stall overlaps the scan/index/compile work below
@@ -142,6 +143,11 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
                     cfg.dist)
         with maybe_profile(cfg.profile), stage_timer("exact k-NN"):
             tl.get_neighbors(configpath=cfg.config, num_threads=cfg.threads)
+        if cfg.controls > 0 and not cfg.raw_output_only:
+            # overlap the control-search device-program loads with the
+            # host-bound annotation/scoring stages below
+            tl.prewarm_controls(configpath=cfg.config,
+                                length=cfg.guidelength, n=cfg.controls)
         tf_df = tl.export_bed()
         result.raw_bed = tf_df
 
@@ -190,8 +196,9 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
 
         if write_outputs:
             os.makedirs(cfg.outdir, exist_ok=True)
-            prettydf.to_csv(os.path.join(cfg.outdir, "targets.csv.gz"),
-                            index=False)
+            with stage_timer("write targets.csv.gz"):
+                prettydf.to_csv(os.path.join(cfg.outdir, "targets.csv.gz"),
+                                index=False)
 
         if cfg.controls > 0:
             logger.info("Creating random control guides")

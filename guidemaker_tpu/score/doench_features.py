@@ -47,9 +47,10 @@ _CODE_TO_ATCG = np.array([0, 2, 3, 1], dtype=np.int64)
 
 def encode30(seqs: Sequence[str]) -> np.ndarray:
     """Encode and validate a batch of 30-mers (uppercase ACGT)."""
-    arr = np.stack([dna.encode(s) for s in seqs])
-    if arr.shape[1] != 30:
+    seqs = list(seqs)
+    if any(len(s) != 30 for s in seqs):
         raise AssertionError("Sequences should be 30 nt long")
+    arr = dna.encode_batch(seqs, 30)   # one bulk conversion, no per-row call
     if (arr >= 4).any():
         raise AssertionError("sequences must be ACGT only")
     return arr

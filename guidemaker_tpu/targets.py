@@ -295,6 +295,48 @@ class TargetProcessor:
         return df
 
     # ------------------------------------------------------------------
+    def prewarm_controls(self, configpath: str, length: int, n: int):
+        """Start loading the control-search device programs in a daemon
+        thread so their first-use cost (compile or cached-executable
+        upload — multiple seconds each on tunneled backends) overlaps
+        the host-bound annotation/scoring stages.
+
+        Compiles exactly the rung-0 shapes ``get_control_seqs`` will use:
+        the on-device sampler, the counting triage, and the exact k=1
+        query at the rung-padded batch size (``_control_search`` pads
+        the passer batch to the rung size so the program shape is
+        deterministic).  Returns the thread; join it (or just call
+        ``get_control_seqs``, which tolerates overlap) at any point.
+        """
+        import threading
+
+        def _warm():
+            try:
+                import jax
+                import jax.numpy as jnp
+                with open(configpath) as cf:
+                    config = yaml.safe_load(cf)
+                mult0 = config["CONTROL"]["CONTROL_SEARCH_MULTIPLE"][0]
+                mindist = config["CONTROL"]["MINIMUM_HMDIST"]
+                m = n * mult0
+                cum = jnp.cumsum(jnp.asarray([.25, .25, .25, .25],
+                                             jnp.float32))
+                codes_dev = _device_sampler()(jax.random.PRNGKey(0), cum,
+                                              m=m, length=length)
+                counts = self.index.count_within(codes_dev, mindist)
+                if counts is not None:
+                    self.index.query_codes(
+                        np.zeros((m, length), np.uint8), k=1)
+            except Exception:   # prewarm is best-effort only
+                logger.debug("control prewarm failed", exc_info=True)
+
+        t = threading.Thread(target=_warm, name="gm-controls-prewarm",
+                             daemon=True)
+        t.start()
+        self._prewarm_thread = t
+        return t
+
+    # ------------------------------------------------------------------
     def _control_search(self, gc: float, length: int, n: int,
                         multiples, minimum_hmdist_target: int,
                         seed: Optional[int]):
@@ -340,8 +382,15 @@ class TargetProcessor:
                     continue          # rung failed; escalate
                 pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
                                     axis=0))
-                dists, _ = self.index.query_codes(pc, k=1)
-                nearest = dists[:, 0].astype(np.int64)
+                # pad to the rung size: the exact-query program shape is
+                # then deterministic (prewarm_controls compiles it) and
+                # INVALID pad rows one-hot to zero -> sliced off below
+                pc_q = pc
+                if pc.shape[0] < m:
+                    pc_q = np.concatenate([pc, np.full(
+                        (m - pc.shape[0], length), 4, np.uint8)])
+                dists, _ = self.index.query_codes(pc_q, k=1)
+                nearest = dists[:pc.shape[0], 0].astype(np.int64)
             else:                     # leven / native: exact full rung
                 pc = fetch(codes_dev)
                 dists, _ = self.index.query_codes(pc, k=1)
@@ -385,6 +434,9 @@ class TargetProcessor:
         self.gc_percent = gc * 100
         self.genomesize = totlen / (1024 * 1024)
 
+        th = getattr(self, "_prewarm_thread", None)
+        if th is not None:
+            th.join(timeout=600)   # let the program loads finish cleanly
         sort_seq, sort_dist, search_mult = self._control_search(
             gc, length, n, multiples, minimum_hmdist_target, seed)
 

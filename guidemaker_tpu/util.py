@@ -48,6 +48,46 @@ def warm_d2h_channel(wait: bool = False) -> None:
         th = _warm_thread
     if wait:
         th.join()
+        _start_d2h_keepalive()
+
+
+_keepalive_started = False
+
+
+def _start_d2h_keepalive(period_s: float = 20.0) -> None:
+    """Keep the device→host return stream warm with a tiny periodic
+    transfer.
+
+    Observed on the tunneled backend: the relay's return stream idles
+    out after minutes of inactivity and the next d2h pays a multi-minute
+    re-open (measured 104-223 s mid-pipeline while host-only stages ran).
+    A 32-byte ping every ``period_s`` keeps it open; on local backends
+    the cost is nanoseconds.  Opt out with GUIDEMAKER_TPU_NO_KEEPALIVE=1.
+    """
+    global _keepalive_started
+    import os
+    if _keepalive_started or os.environ.get("GUIDEMAKER_TPU_NO_KEEPALIVE"):
+        return
+    with _warm_lock:
+        if _keepalive_started:
+            return
+        _keepalive_started = True
+
+        def _ping():
+            import numpy as np
+            try:
+                import jax.numpy as jnp
+            except Exception:
+                return
+            while True:
+                time.sleep(period_s)
+                try:
+                    np.asarray(jnp.zeros(8, jnp.int32))
+                except Exception:
+                    return  # backend torn down; stop quietly
+
+        threading.Thread(target=_ping, name="gm-d2h-keepalive",
+                         daemon=True).start()
 
 
 def fetch(device_array):

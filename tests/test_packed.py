@@ -88,6 +88,7 @@ def test_packed_topk_k_exceeds_nd():
 def test_driver_routes_packed_and_matches_xla(monkeypatch):
     """KnnIndex on the pallas backend with a streaming-size db routes
     through the packed kernels and agrees with the XLA backend."""
+    monkeypatch.setenv("GUIDEMAKER_TPU_PACKED", "1")
     monkeypatch.setattr("guidemaker_tpu.knn.driver.STREAM_THRESHOLD", 64)
     nd = 200
     seqs = dna.decode_rows(_rand_codes(nd))
@@ -108,6 +109,9 @@ def test_driver_routes_packed_and_matches_xla(monkeypatch):
                                   idx_x.count_within(cand, 5))
 
 
-def test_long_guides_fall_back_to_onehot():
-    assert not _use_packed(25)
+def test_packed_gate(monkeypatch):
+    monkeypatch.setenv("GUIDEMAKER_TPU_PACKED", "1")
+    assert not _use_packed(25)   # too long for 2x3L <= 128 lanes
     assert _use_packed(21)
+    monkeypatch.delenv("GUIDEMAKER_TPU_PACKED")
+    assert not _use_packed(20)   # opt-in only (slower on v5e, see driver)

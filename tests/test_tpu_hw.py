@@ -94,10 +94,9 @@ def test_streaming_counting_retention_on_hw():
     assert not got[7] and not got[10]
 
 
-def test_streaming_onehot_kernels_on_hw(monkeypatch):
-    """The one-hot streaming kernels stay covered on hardware even though
-    the driver defaults to the packed-pair kernels for length <= 21."""
-    monkeypatch.setenv("GUIDEMAKER_TPU_NO_PACKED", "1")
+def test_streaming_packed_driver_path_on_hw(monkeypatch):
+    """The opt-in packed-pair driver routing works end to end on chip."""
+    monkeypatch.setenv("GUIDEMAKER_TPU_PACKED", "1")
     _require_tpu()
     from guidemaker_tpu.knn import KnnIndex
     from guidemaker_tpu.knn.driver import STREAM_THRESHOLD
