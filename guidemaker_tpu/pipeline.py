@@ -144,10 +144,12 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         with maybe_profile(cfg.profile), stage_timer("exact k-NN"):
             tl.get_neighbors(configpath=cfg.config, num_threads=cfg.threads)
         if cfg.controls > 0 and not cfg.raw_output_only:
-            # overlap the control-search device-program loads with the
-            # host-bound annotation/scoring stages below
-            tl.prewarm_controls(configpath=cfg.config,
-                                length=cfg.guidelength, n=cfg.controls)
+            # run the whole control search (mostly device time) in the
+            # background, overlapped with the host-bound annotation and
+            # scoring stages below; the controls stage just joins it
+            tl.launch_control_search(fastapath, configpath=cfg.config,
+                                     length=cfg.guidelength,
+                                     n=cfg.controls, seed=cfg.seed)
         tf_df = tl.export_bed()
         result.raw_bed = tf_df
 
@@ -197,8 +199,13 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         if write_outputs:
             os.makedirs(cfg.outdir, exist_ok=True)
             with stage_timer("write targets.csv.gz"):
+                # compresslevel 1: ~3x faster than the zlib default for
+                # ~15% larger output; content (and pd.read_csv round-trip)
+                # is identical
                 prettydf.to_csv(os.path.join(cfg.outdir, "targets.csv.gz"),
-                                index=False)
+                                index=False,
+                                compression={"method": "gzip",
+                                             "compresslevel": 1})
 
         if cfg.controls > 0:
             logger.info("Creating random control guides")

@@ -382,15 +382,12 @@ class TargetProcessor:
                     continue          # rung failed; escalate
                 pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
                                     axis=0))
-                # pad to the rung size: the exact-query program shape is
-                # then deterministic (prewarm_controls compiles it) and
-                # INVALID pad rows one-hot to zero -> sliced off below
-                pc_q = pc
-                if pc.shape[0] < m:
-                    pc_q = np.concatenate([pc, np.full(
-                        (m - pc.shape[0], length), 4, np.uint8)])
-                dists, _ = self.index.query_codes(pc_q, k=1)
-                nearest = dists[:pc.shape[0], 0].astype(np.int64)
+                # exact distances only for the passers (the query path
+                # pow2-buckets its batch internally); padding to the rung
+                # size would push up to m >> n rows through the top-k
+                # kernel for a ~n-row answer
+                dists, _ = self.index.query_codes(pc, k=1)
+                nearest = dists[:, 0].astype(np.int64)
             else:                     # leven / native: exact full rung
                 pc = fetch(codes_dev)
                 dists, _ = self.index.query_codes(pc, k=1)
@@ -405,6 +402,41 @@ class TargetProcessor:
             "a search pool of %d" % (minimum_hmdist_target, n * search_mult))
 
     # ------------------------------------------------------------------
+    def launch_control_search(self, fastapath: str, configpath: str,
+                              length: int = 20, n: int = 10,
+                              num_threads: int = 2,
+                              seed: Optional[int] = None):
+        """Run the full control-guide search in a background thread.
+
+        The search is independent of annotation/scoring (it only needs
+        the already-built index), and its cost is almost entirely device
+        time (the rung counting) plus one fasta pass for GC%% — so
+        launching it right after ``get_neighbors`` overlaps it with the
+        host-bound annotation/Doench/CFD stages.  A subsequent
+        ``get_control_seqs`` call with the same parameters joins the
+        thread and returns its result; exceptions re-raise at the join.
+        """
+        import threading
+        from .io import parse_fasta
+
+        self._control_args = (configpath, length, n, seed)
+        self._control_result = None
+        self._control_exc: Optional[BaseException] = None
+
+        def _run():
+            try:
+                self._control_result = self._get_control_seqs_now(
+                    parse_fasta(fastapath), configpath, length, n,
+                    num_threads, seed)
+            except BaseException as exc:   # re-raised by get_control_seqs
+                self._control_exc = exc
+
+        t = threading.Thread(target=_run, name="gm-control-search",
+                             daemon=True)
+        t.start()
+        self._control_thread = t
+        return t
+
     def get_control_seqs(self, seq_record_iter, configpath: str,
                          length: int = 20, n: int = 10,
                          num_threads: int = 2, seed: Optional[int] = None):
@@ -418,7 +450,26 @@ class TargetProcessor:
         exhausted (and, unlike the reference, *returns* on success at the
         final rung).  ``seed`` makes the sampling reproducible (the
         reference is unseeded; ``None`` keeps that behavior).
+
+        If :meth:`launch_control_search` was started with the same
+        parameters, this joins that thread instead of recomputing.
         """
+        th = getattr(self, "_control_thread", None)
+        if (th is not None
+                and getattr(self, "_control_args", None)
+                == (configpath, length, n, seed)):
+            th.join()
+            self._control_thread = None
+            if self._control_exc is not None:
+                raise self._control_exc
+            return self._control_result
+        return self._get_control_seqs_now(seq_record_iter, configpath,
+                                          length, n, num_threads, seed)
+
+    def _get_control_seqs_now(self, seq_record_iter, configpath: str,
+                              length: int = 20, n: int = 10,
+                              num_threads: int = 2,
+                              seed: Optional[int] = None):
         with open(configpath) as cf:
             config = yaml.safe_load(cf)
         minimum_hmdist_target = config["CONTROL"]["MINIMUM_HMDIST"]
