@@ -247,9 +247,6 @@ class Annotation:
     # ------------------------------------------------------------------
     def _format_guide_table(self, targetprocessor_object) -> None:
         """Final "pretty" guide table (core.py:888-948)."""
-        def gc(seq):
-            return sum(1 for c in seq if c in "GC") / len(seq)
-
         def get_guide_hash(seq):
             return hashlib.md5(seq.encode()).hexdigest()
 
@@ -261,8 +258,15 @@ class Annotation:
         keep = np.fromiter((s in pass_set for s in seq_col), dtype=bool,
                            count=len(seq_col))
         pretty_df = pretty_df[keep]
-        pretty_df["GC"] = pretty_df["Guide sequence"].apply(gc)
-        pretty_df["Guide name"] = pretty_df["Guide sequence"].apply(get_guide_hash)
+        seq_list = pretty_df["Guide sequence"].tolist()
+        if seq_list:
+            from .. import dna
+            gcodes = dna.encode_batch(seq_list, len(seq_list[0]))
+            pretty_df["GC"] = ((gcodes == dna.G) | (gcodes == dna.C)) \
+                .mean(axis=1)
+        else:
+            pretty_df["GC"] = np.empty(0)
+        pretty_df["Guide name"] = [get_guide_hash(s) for s in seq_list]
         pretty_df["Target strand"] = np.where(
             pretty_df["Guide strand"] == pretty_df["Feature strand"],
             "coding", "non-coding")
@@ -300,7 +304,7 @@ class Annotation:
         pretty_df["Guide start"] = pretty_df["Guide start"] + 1
         pretty_df["Feature start"] = pretty_df["Feature start"] + 1
         pretty_df = pretty_df.loc[
-            pretty_df["target_seq30"].apply(lambda s: len(s) == 30)]
+            pretty_df["target_seq30"].str.len() == 30]
         self.pretty_df = pretty_df
 
     # ------------------------------------------------------------------

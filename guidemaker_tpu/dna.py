@@ -107,6 +107,55 @@ def decode_rows(codes: np.ndarray) -> List[str]:
     return np.frombuffer(blob, dtype=f"S{length}").astype(f"U{length}").tolist()
 
 
+def rows_to_str_array(codes: np.ndarray, exceptions=None):
+    """(n, L) uint8 codes -> pandas ``str``-dtype array, no Python strings.
+
+    The Arrow StringArray is built directly on the decoded byte buffer
+    (``decode_rows`` + DataFrame string conversion costs ~6 s for a
+    1.2M x 20 matrix; this path is ~0.4 s).  ``exceptions`` maps row
+    index -> exact replacement text, used for the few contig-edge context
+    windows whose text is shorter than L (or contains characters outside
+    the code alphabet); ``codes`` rows may also be pre-decoded ASCII — pass
+    them through :data:`CODE_TO_BYTE` yourself in that case via
+    ``bytes_rows_to_str_array``.
+    """
+    return bytes_rows_to_str_array(CODE_TO_BYTE[codes], exceptions)
+
+
+def bytes_rows_to_str_array(byte_rows: np.ndarray, exceptions=None):
+    """(n, L) uint8 ASCII byte matrix -> pandas ``str``-dtype array."""
+    import pandas as pd
+    import pyarrow as pa
+    n, length = byte_rows.shape
+    if not exceptions:
+        offsets = np.arange(0, (n + 1) * length, length, dtype=np.int32)
+        arr = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets),
+            pa.py_buffer(np.ascontiguousarray(byte_rows)))
+        return pd.array(arr, dtype="str")
+    exc = {int(i): s.encode("ascii") for i, s in exceptions.items()}
+    lens = np.full(n, length, dtype=np.int64)
+    for i, b in exc.items():
+        lens[i] = len(b)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.empty(int(offsets[-1]), dtype=np.uint8)
+    prev = 0
+    for i in sorted(exc) + [n]:   # bulk-copy runs between exception rows
+        if i > prev:
+            data[offsets[prev]:offsets[i]] = byte_rows[prev:i].reshape(-1)
+        if i < n:
+            data[offsets[i]:offsets[i + 1]] = np.frombuffer(exc[i], np.uint8)
+        prev = i + 1
+    if offsets[-1] <= np.iinfo(np.int32).max:
+        arr = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data))
+    else:
+        arr = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(offsets), pa.py_buffer(data))
+    return pd.array(arr, dtype="str")
+
+
 def revcomp_codes(codes: np.ndarray, axis: int = -1) -> np.ndarray:
     """Reverse-complement along ``axis`` of a code array."""
     return np.flip(CODE_COMPLEMENT[codes], axis=axis)

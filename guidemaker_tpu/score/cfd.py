@@ -123,33 +123,57 @@ def cfd_score(df):
     core.py:446 vs core.py:513 — so the issue was latent there.)
     """
     # flatten every (guide, similar-guide) pair and score in one vectorized
-    # pass (the reference loops pure Python per pair, core.py:1130-1137)
+    # pass (the reference loops pure Python per pair, core.py:1130-1137);
+    # split/flatten run in Arrow C kernels, the per-row maxes in numpy
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(df)
+    if n == 0:
+        df["CFD Similar Guides"] = []
+        df["Max CFD"] = []
+        return df
+    sims_arr = pa.array(df["Similar guides"], from_pandas=True)
+    lists = pc.split_pattern(sims_arr, ";")
+    lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_of_pair = np.repeat(np.arange(n), lens)
+
+    # decode the flattened similar-guide strings straight from the Arrow
+    # buffers (they share one length L, so the data buffer is an (m, L)
+    # byte matrix); fall back to the per-string path on ragged input
+    odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    offsets = np.frombuffer(flat.buffers()[1], dtype=odt,
+                            count=len(flat) + 1,
+                            offset=flat.offset * np.dtype(odt).itemsize)
+    widths = np.diff(offsets)
     guides = df["Guide sequence"].tolist()
-    sim_lists = [s.split(";") for s in df["Similar guides"].tolist()]
-    wt_rows, off_rows, row_of_pair = [], [], []
-    for r, (g, sims) in enumerate(zip(guides, sim_lists)):
-        for s in sims:
-            wt_rows.append(g)
-            off_rows.append(s)
-            row_of_pair.append(r)
-    if wt_rows:
-        L = len(wt_rows[0])
-        wt_codes = dna.encode_batch(wt_rows, L)
-        off_codes = dna.encode_batch(off_rows, L)
-        scores = cfd_batch(wt_codes, off_codes)
+    L = len(guides[0]) if guides else 0
+    if len(flat) and (widths == L).all():
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+        off_codes = dna.BYTE_TO_CODE[
+            data[offsets[0]:offsets[-1]]].reshape(-1, L)
     else:
-        scores = np.empty(0)
+        off_codes = dna.encode_batch(flat.to_pylist(), L)
+    guide_codes = dna.encode_batch(guides, L)
+    wt_codes = guide_codes[row_of_pair]
+    scores = cfd_batch(wt_codes, off_codes)
 
-    per_row_scores: list = [[] for _ in range(len(df))]
-    for r, s in zip(row_of_pair, scores.tolist()):
-        per_row_scores[r].append(s)
+    # Max CFD over the *non-identical* neighbors; rows whose every listed
+    # neighbor is the guide itself fall back to max over all entries
+    ident = (wt_codes == off_codes).all(axis=1)
+    max_all = np.full(n, -np.inf)
+    np.maximum.at(max_all, row_of_pair, scores)
+    max_off = np.full(n, -np.inf)
+    np.maximum.at(max_off, row_of_pair[~ident], scores[~ident])
+    max_cfds = np.where(np.isneginf(max_off), max_all, max_off)
 
-    max_cfds = []
-    for g, sims, vals in zip(guides, sim_lists, per_row_scores):
-        offtarget = [v for s, v in zip(sims, vals) if s != g]
-        max_cfds.append(max(offtarget) if offtarget else max(vals))
-
-    df["CFD Similar Guides"] = [[str(v) for v in vals]
-                                for vals in per_row_scores]
+    # per-row lists of score strings (np.float64.__str__ == float.__str__)
+    flat_strs = scores.astype("U32").tolist()
+    bounds = np.concatenate([[0], np.cumsum(lens)]).tolist()
+    df["CFD Similar Guides"] = [flat_strs[a:b]
+                                for a, b in zip(bounds, bounds[1:])]
     df["Max CFD"] = max_cfds
     return df

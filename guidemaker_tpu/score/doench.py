@@ -153,7 +153,7 @@ def get_doench_efficiency_score(df, pam_orientation, num_threads=1):
             len(df) - len(df2))
     if pam_orientation == "3prime" and set(df2.PAM) == checkset:
         doenchscore = predict(
-            np.array([x.upper() for x in df2.target_seq30]),
+            df2.target_seq30.str.upper().to_numpy(),  # Arrow utf8_upper
             num_threads=num_threads)
         df2["Efficiency"] = doenchscore.ravel()
     else:

@@ -72,8 +72,11 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
     # all features are filled into one float32 matrix in place: every
     # block is a small non-negative integer (exact in f32) except Tm,
     # which is computed in float64 and cast once — identical to building
-    # in f64 and casting the whole matrix (what onnxruntime received)
-    out = np.zeros((n, N_FEATURES), dtype=np.float32)
+    # in f64 and casting the whole matrix (what onnxruntime received).
+    # Fortran order: the tree descent reads single columns, and this
+    # makes ensemble_predict's asfortranarray a no-op instead of a
+    # full-matrix transpose copy
+    out = np.zeros((n, N_FEATURES), dtype=np.float32, order="F")
 
     # _nuc_pd_Order1 @ [0:120): one-hot, 4 cols per position
     out[rows, np.tile(np.arange(30), n) * 4 + atcg.reshape(-1)] = 1.0

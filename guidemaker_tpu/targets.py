@@ -369,13 +369,31 @@ class TargetProcessor:
             [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2], jnp.float32))
 
         sample_codes = _device_sampler()
+        # chunk large rungs: the search runs concurrently with the
+        # pipeline's annotation/scoring stages, and a single monolithic
+        # counting program would block their (small) device work behind
+        # ~10 s of queue head-of-line; ~2 s chunks bound that wait
+        chunk = 1 << 21
+
+        def _count_rung(codes_dev, m):
+            if m <= chunk:
+                return self.index.count_within(codes_dev,
+                                               minimum_hmdist_target)
+            parts = []
+            for lo in range(0, m, chunk):
+                part = self.index.count_within(
+                    codes_dev[lo:lo + chunk], minimum_hmdist_target)
+                if part is None:
+                    return None
+                parts.append(part)
+            return np.concatenate(parts)
+
         search_mult = 0
         for rung, search_mult in enumerate(multiples):
             m = n * search_mult
             codes_dev = sample_codes(jax.random.fold_in(key, rung), cum,
                                      m=m, length=length)
-            counts = self.index.count_within(codes_dev,
-                                             minimum_hmdist_target)
+            counts = _count_rung(codes_dev, m)
             if counts is not None:
                 passers = np.flatnonzero(counts == 0)
                 if passers.size < n:
