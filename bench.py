@@ -196,7 +196,7 @@ def main():
         f"{tk:.2f} s e2e, {nsub*n2/tk/1e12:.2f} T pairs/s")
 
     # --- Levenshtein at genome scale: retention + survivor top-k ---
-    leven_retention_rate = leven_topk_rate = None
+    leven_retention_rate = leven_topk_rate = leven_e3_rate = None
     try:
         from guidemaker_tpu.knn.leven import leven_pass_filter, leven_topk
         t0 = time.time()
@@ -206,10 +206,23 @@ def main():
         leven_pass_filter(pa_codes, pa_codes, 2)
         tl_ = time.time() - t0
         leven_retention_rate = pairs / tl_
-        log(f"  P. aeruginosa LEVEN retention (all-vs-all, {pairs:.3g} "
+        log(f"  P. aeruginosa LEVEN retention e=2 (all-vs-all, {pairs:.3g} "
             f"pairs): {tl_:.2f} s steady ({compile_s:.1f}s first call), "
             f"{leven_retention_rate/1e12:.2f} T pairs/s, "
-            f"{int(passed.sum())} guides retained")
+            f"{int(passed.sum())} guides retained "
+            f"(exact leven<2 == hamming<2 shortcut)")
+        # e=3: the tiered positional 3-gram filter path
+        t0 = time.time()
+        p3 = leven_pass_filter(pa_codes, pa_codes, 3)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        leven_pass_filter(pa_codes, pa_codes, 3)
+        tl3 = time.time() - t0
+        leven_e3_rate = pairs / tl3
+        log(f"  P. aeruginosa LEVEN retention e=3 (gram-filter tiers): "
+            f"{tl3:.2f} s steady ({compile_s:.1f}s first call), "
+            f"{leven_e3_rate/1e12:.2f} T pairs/s, "
+            f"{int(p3.sum())} guides retained")
         # survivor neighbor lists (phase 2): cummin-DP top-k rate on a
         # 4096-query slice vs the full database
         nsub_l = 4096
@@ -255,6 +268,8 @@ def main():
     }
     if leven_retention_rate is not None:
         record["leven_retention_pairs_per_s"] = round(leven_retention_rate)
+    if leven_e3_rate is not None:
+        record["leven_e3_retention_pairs_per_s"] = round(leven_e3_rate)
     if leven_topk_rate is not None:
         record["leven_topk_pairs_per_s"] = round(leven_topk_rate)
     if e2e_seconds is not None:

@@ -52,7 +52,7 @@ from . import doench_featurization
 
 # single source of truth for the package version: pyproject.toml reads
 # this attribute dynamically ([tool.setuptools.dynamic])
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "PamTarget", "TargetProcessor", "Annotation",

@@ -18,12 +18,15 @@ enforces ``len == target_len``, core.py:127-140), which keeps shapes static.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..util import fetch
+
+logger = logging.getLogger(__name__)
 
 from .hamming import INF_KEY, _merge_topk, _pad_rows, pack_keys, unpack_keys
 
@@ -89,28 +92,46 @@ def _topk_scan_leven(q_pad, db_codes, db_n, idx_offset, *, k, length,
     return keys.reshape(n_qt * q_tile, k)
 
 
+#: max queries per full-DP device dispatch.  The all-pairs DP is ~3.4k VPU
+#: ops/pair; an unchunked million-query dispatch would be one device
+#: program running for hours — long enough to trip the TPU executor
+#: watchdog, which kills the worker process ("TPU worker crashed").
+#: 8192 queries x a 1.2M db is a ~3 s program.
+_TOPK_CHUNK = 8192
+
+
 def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
                db_tile: int = 1024, q_tile: int = 512, idx_offset: int = 0,
-               db_dev=None):
+               db_dev=None, chunk: int = _TOPK_CHUNK):
     """Exact k smallest Levenshtein distances per query (see hamming_topk).
 
-    One device dispatch for the whole query set; pass a pre-transferred
-    ``db_dev`` (from ``jnp.asarray(_pad_rows(db_codes, db_tile))``) to
-    reuse a device-resident database across calls.
+    Queries are dispatched in ``chunk``-row slices (pow2-bucketed, so the
+    program set stays logarithmic); pass a pre-transferred ``db_dev``
+    (from ``jnp.asarray(_pad_rows(db_codes, db_tile))``) to reuse a
+    device-resident database across calls.
     """
     nq, nd = q_codes.shape[0], db_codes.shape[0]
     length = q_codes.shape[1]
     k_eff = min(k, nd)
     db_tile = min(db_tile, max(128, 1 << (int(nd - 1).bit_length())))
-    q_tile = min(q_tile, max(128, 1 << (int(nq - 1).bit_length())))
 
     if db_dev is None:
         db_dev = jnp.asarray(_pad_rows(db_codes, db_tile))
-    q_pad = _pad_rows(q_codes, q_tile)
-    out = fetch(_topk_scan_leven(jnp.asarray(q_pad), db_dev, jnp.int32(nd),
-                                 jnp.int32(idx_offset), k=k_eff,
-                                 length=length, db_tile=db_tile,
-                                 q_tile=q_tile))[:nq]
+    from .pallas_hamming import bucket_rows
+    outs = []
+    for lo in range(0, nq, chunk):
+        qc = q_codes[lo:lo + chunk]
+        m = qc.shape[0]
+        qt = min(q_tile, max(128, 1 << (int(m - 1).bit_length())))
+        # pow2-bucketed query padding: novel query-batch sizes otherwise
+        # compile a fresh program each (multi-second stall on tunneled
+        # TPUs)
+        q_pad = _pad_rows(qc, bucket_rows(m, qt))
+        outs.append(fetch(_topk_scan_leven(
+            jnp.asarray(q_pad), db_dev, jnp.int32(nd),
+            jnp.int32(idx_offset), k=k_eff, length=length,
+            db_tile=db_tile, q_tile=qt))[:m])
+    out = np.concatenate(outs) if outs else np.empty((0, k_eff), np.int32)
 
     dist, idx = unpack_keys(out)
     if k_eff < k:
@@ -129,87 +150,114 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
 # needs "is the 2nd-nearest neighbor at distance >= e", and that decision
 # can ride the MXU:
 #
-#   If leven(a, b) <= t (t = e-1), an optimal alignment has >= L - t
-#   matched characters, each matched pair offset by at most t positions
-#   (an alignment with i insertions / d deletions never leaves the
-#   diagonal band |j - i| <= t).  Therefore
+# * e == 2 (the shipped default): between EQUAL-LENGTH strings a single
+#   length-preserving edit must be a substitution, so leven < 2 <=>
+#   hamming < 2 and retention IS the plain int8 Hamming counting pass —
+#   the same hardware-proven program, same 1.25 T pairs/s.
 #
-#     dot(onehot(a), dilated_t(b)) >= L - t   AND
-#     dot(dilated_t(a), onehot(b)) >= L - t
+# * e >= 3: the positional q-gram lemma.  If leven(a, b) <= t (t = e-1),
+#   at most t*q of a's (L-q+1) q-grams overlap an edit, and every
+#   surviving gram appears in b within +-t gram positions (the alignment
+#   never leaves the +-t diagonal band).  With q = 3 the gram one-hot is
+#   exact in 64 channels, so
 #
-#   where dilated_t ORs each position's one-hot over a +-t window.  Summing
-#   both sides: dot([oh(a); dil(a)], [dil(b); oh(b)]) >= 2(L - t) — one
-#   int8 MXU inner product per pair, evaluated by the existing counting /
-#   top-k kernels with "length" 2L and "editdist" 2e-1.
+#     dot(gram(a), dil_gram_t(b)) >= (L-q+1) - t*q
 #
-# The filter is sound (never misses a true leven < e pair) but not exact;
-# queries with >= 2 filter hits are verified by a banded DP over just
-# their candidate pairs, and the rare queries with more than LANES
-# candidates fall back to an exact k=2 full-DP query.
+#   i.e. under the standard counting kernel (length = L-q+1,
+#   editdist = t*q+1) the pair's pseudo-distance is < t*q+1.  One int8
+#   MXU product over (L-2)*64 lanes per pair, evaluated by the existing
+#   counting / top-k kernels.  (Base-level +-t dilation — match each
+#   CHARACTER within a window — was tried first and degenerates for
+#   t >= 2 on 20-mers: random pairs match ~76% of characters within +-2,
+#   so virtually every pair passed; 3-gram matches are ~7.5% per position
+#   and the filter stays sharp through t = 4.)
+#
+# The gram filter is sound (never misses a true leven < e pair) but not
+# exact; queries with >= 2 filter hits are verified by a banded DP over
+# their top-_FILTER_K candidate pairs (a proven close neighbor decides
+# FAIL exactly even when the candidate list overflows), a second-direction
+# gram count prunes overflow queries (count <= 1 proves PASS), and the
+# residue falls back to exact chunked full-DP k=2 queries.  Every device
+# dispatch is chunked/bucketed: one monolithic program over ~1e12 pairs of
+# VPU DP work would run past the TPU executor watchdog, which kills the
+# worker process.
 # ---------------------------------------------------------------------------
 
-#: filter top-k candidate budget.  Small on purpose: the in-kernel merge
-#: unrolls k min-extraction rounds (a k=64 program blew past the TPU
-#: compile helper); queries with more candidates take the exact fallback.
-_FILTER_K = 16
+#: filter top-k candidate budget.  Queries with <= this many filter
+#: candidates are decided exactly by the banded-DP tier; more fall
+#: through to the second-direction prune / full-DP fallback.  64 covers
+#: the typical shift-sibling candidate mass of PAM-dense genome regions
+#: (banded verification is ~180 VPU ops/pair — k=64 over a million
+#: ambiguous queries is ~2 s); extraction is XLA lax.top_k, so k is not
+#: limited by the Pallas merge (whose k=64 variant blew the compile).
+_FILTER_K = 64
 
 
-def dilated_onehot(codes: np.ndarray, t: int, lanes: int = 128) -> np.ndarray:
-    """(n, L) uint8 codes -> (n, pad(4L)) int8 position-major one-hot,
-    OR-dilated over a +-t position window (t=0 gives the plain one-hot).
-
-    Layout matches pallas_hamming._onehot_on_device (pos-major, 4 channels
-    per position) so dilated and plain encodings can be dotted together.
-    Invalid codes (>= 4, incl. padding) contribute nothing.
-    """
-    n, length = codes.shape
-    oh = np.zeros((n, length, 4), dtype=np.int8)
-    valid = codes < 4
-    np.put_along_axis(oh, np.where(valid, codes, 0)[..., None].astype(np.int64),
-                      valid[..., None].astype(np.int8), axis=2)
-    out = oh
-    for s in range(1, t + 1):
-        shifted_fwd = np.zeros_like(oh)
-        shifted_fwd[:, s:] = oh[:, :-s]
-        shifted_back = np.zeros_like(oh)
-        shifted_back[:, :-s] = oh[:, s:]
-        out = np.maximum(out, np.maximum(shifted_fwd, shifted_back))
-    flat = out.reshape(n, 4 * length)
-    pad = -flat.shape[1] % lanes
-    if pad:
-        flat = np.pad(flat, ((0, 0), (0, pad)))
-    return flat
+#: q-gram width for the t >= 2 retention filter.  4**3 = 64 channels keep
+#: the gram one-hot EXACT (no hashing) and the feature matrix at
+#: (L-2)*64 int8 lanes (1152 for 20-mers — 9 MXU passes per pair).
+GRAM_Q = 3
 
 
 def _filter_feats(codes: np.ndarray, t: int, side: str) -> np.ndarray:
-    """Two-sided filter features: queries carry [oh; dil], database rows
-    carry [dil; oh], so one dot product evaluates both direction sums.
-    (Host/numpy variant — the soundness oracle; production uses
-    :func:`_feat_halves_on_device`.)"""
-    oh = dilated_onehot(codes, 0)
-    dil = dilated_onehot(codes, t)
-    return np.concatenate([oh, dil] if side == "q" else [dil, oh], axis=1)
+    """Positional 3-gram filter features: queries carry the plain gram
+    one-hot, database rows the +-t gram-position-dilated one, so
+    dot(q, db) counts query grams present in the database guide within a
+    +-t window.  (Host/numpy variant — the soundness oracle, independent
+    of the production device builder :func:`_gram_feats_on_device`.)"""
+    n, length = codes.shape
+    glen = length - GRAM_Q + 1
+    a = codes.astype(np.int64)
+    g = a[:, :glen] * 16 + a[:, 1:glen + 1] * 4 + a[:, 2:glen + 2]
+    valid = ((codes[:, :glen] < 4) & (codes[:, 1:glen + 1] < 4)
+             & (codes[:, 2:glen + 2] < 4))
+    oh = np.zeros((n, glen, 64), dtype=np.int8)
+    np.put_along_axis(oh, np.where(valid, g, 0)[..., None],
+                      valid[..., None].astype(np.int8), axis=2)
+    out = oh
+    tt = 0 if side == "q" else t
+    for s in range(1, tt + 1):
+        fwd = np.zeros_like(oh)
+        fwd[:, s:] = oh[:, :-s]
+        back = np.zeros_like(oh)
+        back[:, :-s] = oh[:, s:]
+        out = np.maximum(out, np.maximum(fwd, back))
+    return out.reshape(n, glen * 64)
 
 
 @functools.partial(jax.jit, static_argnames=("t",))
-def _feat_halves_on_device(codes, *, t):
-    """uint8 codes -> (plain, dilated) lane-padded int8 one-hot halves,
-    built on device (the host variant cost ~30 s + a 600 MB transfer at
-    genome scale).  Padding codes (>= 4) one-hot to zero rows."""
+def _gram_feats_on_device(codes, *, t):
+    """uint8 codes -> lane-padded int8 positional 3-gram one-hot,
+    OR-dilated over a +-t gram-position window (t=0 gives the plain gram
+    one-hot for the query side).
+
+    The q-gram lemma drives the t >= 2 filter: <= t edits destroy at
+    most t*q of a's L-q+1 grams, and every surviving gram appears in b
+    within +-t positions — so leven(a,b) <= t implies
+    dot(gram(a), dil_gram_t(b)) >= (L-q+1) - t*q.  Base-level +-t
+    dilation degenerates on 20-mers at t >= 2 (random pairs match ~76%
+    of positions within a +-2 window, so nearly every pair passed);
+    3-gram positional matches are ~7.5% per position for random pairs,
+    keeping the filter sharp through t=4.  Grams touching an INVALID
+    (padding) code one-hot to zero."""
     n, length = codes.shape
-    oh = jax.nn.one_hot(codes, 4, dtype=jnp.int8)          # (n, L, 4)
+    glen = length - GRAM_Q + 1
+    g = (codes[:, :glen].astype(jnp.int32) * 16
+         + codes[:, 1:glen + 1].astype(jnp.int32) * 4
+         + codes[:, 2:glen + 2].astype(jnp.int32))
+    valid = ((codes[:, :glen] < 4) & (codes[:, 1:glen + 1] < 4)
+             & (codes[:, 2:glen + 2] < 4))
+    oh = jax.nn.one_hot(g, 64, dtype=jnp.int8) * valid[..., None].astype(jnp.int8)
     dil = oh
     for s in range(1, t + 1):
-        fwd = jnp.pad(oh, ((0, 0), (s, 0), (0, 0)))[:, :length]
+        fwd = jnp.pad(oh, ((0, 0), (s, 0), (0, 0)))[:, :glen]
         back = jnp.pad(oh, ((0, 0), (0, s), (0, 0)))[:, s:]
         dil = jnp.maximum(dil, jnp.maximum(fwd, back))
-    ohf = oh.reshape(n, 4 * length)
-    dilf = dil.reshape(n, 4 * length)
-    pad = -(4 * length) % 128
+    flat = dil.reshape(n, glen * 64)
+    pad = -(glen * 64) % 128
     if pad:
-        ohf = jnp.pad(ohf, ((0, 0), (0, pad)))
-        dilf = jnp.pad(dilf, ((0, 0), (0, pad)))
-    return ohf, dilf
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    return flat
 
 
 _BIG = np.int32(1 << 20)
@@ -258,23 +306,25 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     distance >= editdist?  Requires the driver's counting preconditions
     (deduplicated database, every query a member).
 
-    Three tiers: MXU dilated-filter counting (decides the overwhelming
-    majority of queries in one pass; pass <=> dot >= 2(L-t) <=>
-    pseudo-dist (2L - dot) <= 2t < 2e-1), banded-DP verification of the
-    filter's candidate lists, and an exact full-DP k=2 fallback for
-    queries whose candidate list overflows ``filter_k``.  All feature
-    matrices are built on device from 2-bit codes.
+    e == 2 is decided by one plain Hamming counting pass (exact: a single
+    length-preserving edit must be a substitution).  e >= 3 runs the
+    tiered positional 3-gram filter — MXU gram counting, banded-DP
+    verification of candidate lists, second-direction gram prune, exact
+    chunked full-DP residue (see the design block above).  All feature
+    matrices are built on device from 2-bit codes, and every counting /
+    top-k / DP dispatch is chunked and pow2-bucketed.
 
     ``mesh``: when given, the O(nq x nd) counting pass runs sharded —
     database features over the ``d`` mesh axis, queries over ``q``,
     partial counts merged with one ``psum`` (knn/sharded.py; the count
     rule is metric-agnostic matmul thresholding, so the hamming sharded
-    counter evaluates the dilated-filter features unchanged).  The
-    candidate-verification tiers stay single-device: they touch a few
-    hundred (query, candidate) pairs, not the n^2 pair space.
+    counter evaluates the gram features unchanged).  The verification
+    tiers stay single-device: they touch candidate pairs, not the n^2
+    pair space.
     """
-    from .pallas_hamming import bucket_rows, clamp_tiles
-    from .pallas_stream import _stream_count, _stream_topk
+    from .pallas_hamming import (_onehot_on_device, _pad_code_rows,
+                                 bucket_rows, clamp_tiles)
+    from .pallas_stream import _stream_count
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nq, length = q_codes.shape
@@ -286,62 +336,167 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
         # reference threshold core.py:517-522)
         return np.ones(nq, dtype=bool)
     t = e - 1
-    two_l = 2 * length
-    from .pallas_hamming import _pad_code_rows
     db_tile = min(8192, max(128, 1 << (nd - 1).bit_length()))
-    q_tile = min(256, max(8, 1 << (nq - 1).bit_length()))
+    q_tile = min(1024, max(8, 1 << (nq - 1).bit_length()))
     q_tile, db_tile = clamp_tiles(q_tile, db_tile)
-    db_oh, db_dil = _feat_halves_on_device(
-        jnp.asarray(_pad_code_rows(db_codes, db_tile)), t=t)
-    db_feat = jnp.concatenate([db_dil, db_oh], axis=1)
+    db_pad = _pad_code_rows(db_codes, db_tile)
+    if e == 2:
+        # Exact shortcut for the default threshold: between EQUAL-LENGTH
+        # strings a single length-preserving edit must be a substitution,
+        # so leven(a,b) = 1 <=> hamming(a,b) = 1 and leven < 2 <=>
+        # hamming < 2.  Retention is decided by one plain Hamming
+        # counting pass — no dilation, no verification tiers (and no
+        # million-query candidate mass from shift-sibling guides at
+        # adjacent PAM sites, which dominate the dilated filter's
+        # ambiguity at genome scale).
+        db_feat = _onehot_on_device(jnp.asarray(db_pad))
+        if q_codes is db_codes:
+            q_feat = db_feat
+        else:
+            q_feat = _onehot_on_device(jnp.asarray(
+                _pad_code_rows(q_codes, bucket_rows(nq, q_tile))))
+        if mesh is not None:
+            from .sharded import sharded_hamming_count
+            counts = sharded_hamming_count(
+                np.asarray(q_feat)[:nq], np.asarray(db_feat),
+                editdist=2, length=length, mesh=mesh)[:nq]
+        else:
+            counts = fetch(_stream_count(
+                q_feat, db_feat, length=length, editdist=2,
+                q_tile=q_tile, db_tile=db_tile,
+                interpret=interpret)[:nq, 0])
+        return counts <= 1
+    # e >= 3: positional q-gram filter (see _gram_feats_on_device).  A
+    # pair is a candidate iff >= (glen - t*q) of the query's 3-grams
+    # appear in the database guide within +-t gram positions, i.e. the
+    # counting kernel's pseudo-dist (glen - dot) is < t*q + 1.
+    glen = length - GRAM_Q + 1
+    p_edit = t * GRAM_Q + 1
+    if glen - t * GRAM_Q < 2 or p_edit > glen:
+        # threshold too large for the gram bound (degenerate on short
+        # guides): exact chunked full-DP for everything
+        d2, _ = leven_topk(q_codes, db_codes, 2)
+        return (d2[:, 1] >= 0) & (d2[:, 1] >= e)
+    db_feat = _gram_feats_on_device(jnp.asarray(db_pad), t=t)
     if q_codes is db_codes:
-        # all-vs-all: reuse the db halves (padded db rows are a pow2
-        # multiple of db_tile >= q_tile, so the q grid divides evenly;
-        # padding rows' counts are sliced off below)
-        q_oh, q_dil = db_oh, db_dil
+        # all-vs-all: plain gram one-hot of the same padded codes (padded
+        # db rows are a pow2 multiple of db_tile >= q_tile, so the q grid
+        # divides evenly; padding rows' counts are sliced off below)
+        q_feat = _gram_feats_on_device(jnp.asarray(db_pad), t=0)
     else:
-        q_oh, q_dil = _feat_halves_on_device(
-            jnp.asarray(_pad_code_rows(q_codes,
-                                       bucket_rows(nq, q_tile))), t=t)
-    q_feat = jnp.concatenate([q_oh, q_dil], axis=1)
+        q_feat = _gram_feats_on_device(jnp.asarray(
+            _pad_code_rows(q_codes, bucket_rows(nq, q_tile))), t=0)
     if mesh is not None:
         from .sharded import sharded_hamming_count
         counts = sharded_hamming_count(
             np.asarray(q_feat)[:nq], np.asarray(db_feat),
-            editdist=2 * e - 1, length=two_l, mesh=mesh)[:nq]
-        # db padding rows: all-zero features -> dot 0 -> pseudo-dist 2L
-        # >= 2e-1, never counted (same invariant as the fused path)
+            editdist=p_edit, length=glen, mesh=mesh)[:nq]
+        # db padding rows: all-zero features -> dot 0 -> pseudo-dist glen
+        # >= p_edit, never counted (same invariant as the fused path)
     else:
         counts = fetch(_stream_count(
-            q_feat, db_feat, length=two_l, editdist=2 * e - 1,
+            q_feat, db_feat, length=glen, editdist=p_edit,
             q_tile=q_tile, db_tile=db_tile, interpret=interpret)[:nq, 0])
     passed = counts <= 1
-    ambig = np.flatnonzero((counts >= 2) & (counts <= filter_k))
-    overflow = np.flatnonzero(counts > filter_k)
+    k_eff = min(filter_k, nd)
 
-    if ambig.size:
-        k_eff = min(filter_k, nd)
-        qa_feat = jnp.take(q_feat, jnp.asarray(ambig), axis=0)
-        na_pad = bucket_rows(ambig.size, min(q_tile, 256))
-        if qa_feat.shape[0] < na_pad:
-            qa_feat = jnp.pad(qa_feat,
-                              ((0, na_pad - qa_feat.shape[0]), (0, 0)))
-        keys = _stream_topk(qa_feat, db_feat, k=k_eff, length=two_l,
-                            q_tile=min(q_tile, 256), db_tile=db_tile,
-                            interpret=interpret)
-        _, cand = unpack_keys(fetch(keys[:ambig.size, :k_eff]))
-        cand[cand >= nd] = -1                    # db padding rows
-        qa = np.repeat(q_codes[ambig], k_eff, axis=0)
+    def _close_via_topk(idxs, qf_dev, qf_pos, df_dev):
+        """For queries ``idxs`` (rows ``qf_pos`` of the feature array
+        ``qf_dev``): banded-verify their ``k_eff`` smallest pseudo-dist
+        candidates against ``df_dev``.  Returns (nq,) bool — does the
+        query have a *proven* non-self Levenshtein-<e neighbor among
+        them?  Exhaustive (hence an exact retention decision) whenever
+        the query's candidate count is <= k_eff.
+
+        Candidate extraction uses the portable XLA tier (bf16 matmul +
+        lax.top_k running merge, hamming._topk_all): the Pallas streaming
+        kernel's k-round unrolled min-extraction merge is built for the
+        small k of neighbor lists — at k = 16 its VMEM working set
+        faulted the kernel at genome scale and its Mosaic compile ran
+        for minutes, while the XLA merge compiles in seconds and top_k
+        is a tested primitive."""
+        from .hamming import _topk_all
+        df_bf = df_dev.astype(jnp.bfloat16)
+        # chunked dispatches: one monolithic program over a large
+        # candidate set can run past the TPU executor watchdog, which
+        # kills the worker process (observed at ~1M ambiguous queries)
+        chunk = 65536
+        cand_parts = []
+        for lo in range(0, idxs.size, chunk):
+            pos = qf_pos[lo:lo + chunk]
+            qa_feat = jnp.take(qf_dev, jnp.asarray(pos),
+                               axis=0).astype(jnp.bfloat16)
+            na_pad = bucket_rows(pos.size, 256)
+            if qa_feat.shape[0] < na_pad:
+                qa_feat = jnp.pad(qa_feat,
+                                  ((0, na_pad - qa_feat.shape[0]), (0, 0)))
+            keys = _topk_all(qa_feat, df_bf, jnp.int32(nd), jnp.int32(0),
+                             k=k_eff, length=glen,
+                             db_tile=min(db_tile, 2048), q_tile=256)
+            cand_parts.append(fetch(keys[:pos.size, :k_eff]))
+        _, cand = unpack_keys(np.concatenate(cand_parts))
+        qa = np.repeat(q_codes[idxs], k_eff, axis=0)
         ca = db_codes[np.clip(cand, 0, nd - 1)].reshape(-1, length)
+        # pow2-bucketed pair batch: every novel batch size would otherwise
+        # compile a fresh banded program (INVALID padding rows compare
+        # equal -> dist 0, sliced off below)
+        n_pairs = qa.shape[0]
+        qa = _pad_code_rows(qa, bucket_rows(n_pairs, 128))
+        ca = _pad_code_rows(ca, qa.shape[0])
         bd = fetch(banded_leven_pairs(jnp.asarray(qa), jnp.asarray(ca),
-                                      t=t, length=length))
-        bd = bd.reshape(ambig.size, k_eff)
+                                      t=t, length=length))[:n_pairs]
+        bd = bd.reshape(idxs.size, k_eff)
         # dist 0 <=> identical <=> self (db is deduplicated; queries are
         # members); any other candidate closer than e fails retention
-        close = (bd > 0) & (bd < e) & (cand >= 0)
-        passed[ambig] = ~close.any(axis=1)
+        return ((bd > 0) & (bd < e) & (cand >= 0)).any(axis=1)
 
-    if overflow.size:
-        d2, _ = leven_topk(q_codes[overflow], db_codes, 2)
-        passed[overflow] = (d2[:, 1] >= 0) & (d2[:, 1] >= e)
+    todo = np.flatnonzero(counts >= 2)
+    logger.debug("leven filter tier sizes: %d queries, %d ambiguous "
+                 "(direction-1 counts max %d)", nq, todo.size,
+                 int(counts.max(initial=0)))
+    if todo.size:
+        # Tier 2 — banded verification of the direction-1 candidates.
+        # counts <= k_eff: the list is exhaustive, decision is exact.
+        # counts > k_eff: a proven close neighbor still decides FAIL
+        # exactly (fail-fast for repeat-cluster members, which dominate
+        # the overflow set in real genomes).
+        close1 = _close_via_topk(todo, q_feat, todo, db_feat)
+        complete1 = counts[todo] <= k_eff
+        passed[todo] = np.where(complete1, ~close1, passed[todo])
+        passed[todo[close1]] = False
+        rest = todo[~complete1 & ~close1]
+        if rest.size:
+            # Tier 3 — second-direction counting prune (the gram lemma is
+            # symmetric: db-side surviving grams appear in the query
+            # within +-t, so dot(dil_gram(q), gram(db)) >= glen - t*q is
+            # an equally sound filter): any true close pair is counted in
+            # BOTH directions, so a direction-2 count <= 1 proves PASS
+            # even when direction 1 overflowed.
+            db_oh = _gram_feats_on_device(jnp.asarray(db_pad), t=0)
+            rest_pad = _pad_code_rows(
+                q_codes[rest], bucket_rows(rest.size, min(q_tile, 256)))
+            q_dil = _gram_feats_on_device(jnp.asarray(rest_pad), t=t)
+            counts2 = fetch(_stream_count(
+                q_dil, db_oh, length=glen, editdist=p_edit,
+                q_tile=min(q_tile, 256), db_tile=db_tile,
+                interpret=interpret)[:rest.size, 0])
+            passed[rest[counts2 <= 1]] = True
+            sel2 = np.flatnonzero(counts2 >= 2)
+            logger.debug("leven filter tier-3: %d rest, %d still ambiguous "
+                         "after direction-2 prune", rest.size, sel2.size)
+            if sel2.size:
+                rest2 = rest[sel2]
+                close2 = _close_via_topk(rest2, q_dil, sel2, db_oh)
+                complete2 = counts2[sel2] <= k_eff
+                passed[rest2] = np.where(complete2, ~close2, passed[rest2])
+                passed[rest2[close2]] = False
+                over = rest2[~complete2 & ~close2]
+                if over.size:
+                    logger.debug("leven filter tier-4: %d queries to "
+                                 "exact full-DP", over.size)
+                    # Tier 4 — exact full-DP k=2 for the residue (both
+                    # directions ambiguous, no proven close neighbor);
+                    # chunked dispatches, see leven_topk
+                    d2, _ = leven_topk(q_codes[over], db_codes, 2)
+                    passed[over] = (d2[:, 1] >= 0) & (d2[:, 1] >= e)
     return passed

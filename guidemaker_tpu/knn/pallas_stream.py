@@ -70,6 +70,20 @@ def _stream_kernel(q_ref, db_hbm, out_ref, db_buf, sems, *,
     out_ref[:] = jnp.concatenate([best, pad], axis=1)
 
 
+#: VMEM budget for the in-kernel merge: each of the k unrolled
+#: min-extraction rounds materializes a (q_tile, db_tile + k) i32
+#: candidate buffer; k * (db_tile + LANES) beyond ~50k elements
+#: (k=16 x db_tile 8192 observed) overflows VMEM and faults the kernel.
+#: k=3..5 at db_tile 8192 (the measured hot path) stays untouched.
+_MERGE_BUDGET = 49152
+
+
+def _merge_safe_db_tile(k: int, db_tile: int) -> int:
+    while db_tile > 128 and k * (db_tile + LANES) > _MERGE_BUDGET:
+        db_tile //= 2
+    return db_tile
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "length", "q_tile", "db_tile",
                                     "interpret"))
@@ -77,6 +91,9 @@ def _stream_topk(q_oh, db_oh, *, k, length, q_tile, db_tile,
                  interpret=False):
     nq, feat = q_oh.shape
     nd = db_oh.shape[0]
+    # db rows are padded to a multiple of the requested db_tile (a pow2),
+    # so any pow2 shrink still divides them
+    db_tile = _merge_safe_db_tile(k, db_tile)
     n_db_tiles = nd // db_tile
     kernel = functools.partial(_stream_kernel, k=k, length=length,
                                db_tile=db_tile, n_db_tiles=n_db_tiles)

@@ -125,17 +125,18 @@ class TargetProcessor:
         """
         lsr = self.lsr
 
-        def _get_prox(tseq: str) -> str:
-            if lsr == 0:
-                return tseq
-            if self.pam_orientation:          # 5prime
-                return tseq[0:lsr]
-            return tseq[(len(tseq) - lsr):]   # 3prime
-
-        self.targets = deepcopy(self.targets)
-        self.targets.loc[:, "seedseq"] = self.targets.loc[:, "target"].apply(_get_prox)
-        self.targets.loc[:, "isseedduplicated"] = (
-            self.targets.loc[:, "seedseq"].duplicated())
+        # vectorized seed slice (Arrow utf8 kernels): 5prime PAM -> prefix,
+        # 3prime -> suffix, lsr == 0 -> whole guide (core.py:402-412)
+        self.targets = self.targets.copy()
+        tcol = self.targets["target"]
+        if lsr == 0:
+            seed = tcol.copy()
+        elif self.pam_orientation:            # 5prime
+            seed = tcol.str.slice(0, lsr)
+        else:                                 # 3prime
+            seed = tcol.str.slice(-lsr)
+        self.targets.loc[:, "seedseq"] = seed
+        self.targets.loc[:, "isseedduplicated"] = seed.duplicated()
 
     # ------------------------------------------------------------------
     def create_index(self, configpath: str = None, num_threads: int = 2) -> None:
@@ -286,7 +287,7 @@ class TargetProcessor:
     def export_bed(self) -> pd.DataFrame:
         """Seed-unique targets as a sorted 5-column BED-like frame
         (core.py:525-543)."""
-        df = deepcopy(self.targets.loc[self.targets["isseedduplicated"] == False])  # noqa: E712
+        df = self.targets.loc[self.targets["isseedduplicated"] == False].copy()  # noqa: E712
         df = df[["seqid", "start", "stop", "target", "strand"]]
         df = df.assign(strand=np.where(df["strand"], "+", "-"))
         df.columns = ["chrom", "chromstart", "chromend", "name", "strand"]

@@ -199,10 +199,11 @@ def test_banded_leven_pairs_vs_oracle(t):
     np.testing.assert_array_equal(got, want)
 
 
-def test_dilated_filter_is_sound():
-    """Any pair with leven < e must pass the two-sided dilated-match
-    filter: dot(q_feat, db_feat) >= 2(L - (e-1))."""
-    from guidemaker_tpu.knn.leven import _filter_feats
+def test_gram_filter_is_sound():
+    """Any pair with leven < e must pass the positional 3-gram filter:
+    dot(gram(q), dil_gram(db)) >= (L-q+1) - (e-1)*q, i.e. the counting
+    kernel's pseudo-distance (L-q+1) - dot is < (e-1)*q + 1."""
+    from guidemaker_tpu.knn.leven import GRAM_Q, _filter_feats
     rng = np.random.default_rng(13)
     L = 20
     for e in (2, 3, 5):
@@ -219,7 +220,22 @@ def test_dilated_filter_is_sound():
         qf = _filter_feats(qa, t, "q").astype(np.int32)
         df = _filter_feats(db, t, "db").astype(np.int32)
         dots = (qf * df).sum(axis=1)
-        assert (dots >= 2 * (L - t)).all()
+        assert (dots >= (L - GRAM_Q + 1) - t * GRAM_Q).all()
+
+
+def test_gram_feats_device_matches_host_oracle():
+    """The jitted gram feature builder equals the independent numpy
+    oracle, including INVALID-code (padding) grams zeroing out."""
+    import jax.numpy as jnp
+    from guidemaker_tpu.knn.leven import (_filter_feats,
+                                          _gram_feats_on_device)
+    rng = np.random.default_rng(31)
+    codes = rng.integers(0, 5, size=(16, 20)).astype(np.uint8)  # incl. 4
+    for t in (0, 1, 2, 4):
+        want = _filter_feats(codes, t, "q" if t == 0 else "db")
+        got = np.asarray(_gram_feats_on_device(jnp.asarray(codes), t=t))
+        np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+        assert (got[:, want.shape[1]:] == 0).all()  # lane padding
 
 
 def test_leven_pass_filter_vs_bruteforce():
@@ -257,6 +273,32 @@ def test_leven_pass_filter_overflow_tier():
     np.fill_diagonal(dm, 10 ** 6)
     got = leven_pass_filter(codes, codes, 3, filter_k=2)
     np.testing.assert_array_equal(got, dm.min(axis=1) >= 3)
+
+
+def test_leven_pass_filter_repeat_clusters_all_tiers():
+    """Repeat-rich fixture (homopolymer / dinucleotide shifts) drives
+    huge one-sided filter counts, exercising the fail-fast banded tier,
+    the second-direction counting prune, and the chunked full-DP
+    residue; the decision must still equal brute force."""
+    from guidemaker_tpu.knn.leven import leven_pass_filter
+    rng = np.random.default_rng(29)
+    L = 12
+    seqs = _random_seqs(rng, 40, L)
+    # dense near-duplicate cluster: single-sub mutants of one motif
+    motif = seqs[0]
+    for pos in range(0, L, 2):
+        for b in "ACGT":
+            seqs.append(motif[:pos] + b + motif[pos + 1:])
+    # shifted repeats: high dilated-match overlap without small leven
+    seqs += ["".join("AC"[(i + s) % 2] for i in range(L)) for s in (0, 1)]
+    seqs += ["A" * L, "A" * (L - 1) + "C", "C" + "A" * (L - 1)]
+    seqs = list(dict.fromkeys(seqs))
+    codes = np.stack([dna.encode(s) for s in seqs]).astype(np.uint8)
+    dm = np.array([[_oracle_leven(a, b) for b in seqs] for a in seqs])
+    np.fill_diagonal(dm, 10 ** 6)
+    for e in (2, 3):
+        got = leven_pass_filter(codes, codes, e, filter_k=2)
+        np.testing.assert_array_equal(got, dm.min(axis=1) >= e)
 
 
 def test_knn_index_leven_filter_matches_query_path():
