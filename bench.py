@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Benchmark: exact genome-wide guide design vs the reference's HNSW.
 
-Headline (printed as the ONE JSON line): the genome-scale retention
-pass — every guide of the 6.3 Mb Pseudomonas aeruginosa genome against
-every other (1.34e12 guide pairs) through the int8 streaming counting
-kernel, exactly the kernel the pipeline's `exact k-NN` stage runs.
+Headline (the JSON line's ``metric``): the genome-scale retention pass —
+every guide of the 6.3 Mb Pseudomonas aeruginosa genome against every
+other (1.34e12 guide pairs) through the int8 streaming counting kernel,
+exactly the kernel the pipeline's `exact k-NN` stage runs.
 
 Baseline: the reference's only published k-NN numbers are HNSW on the
 C. ruddii target set (BASELINE.md): tuned M=16/efC=16/ef=13 takes
@@ -13,28 +13,95 @@ C. ruddii target set (BASELINE.md): tuned M=16/efC=16/ef=13 takes
 the per-pair rate ratio on our genome-scale workload (recall 1.0 by
 construction vs their 0.99).
 
-Also logged to stderr: the C. ruddii k=3 steady-state latency (direct
-baseline comparison) and the post-annotation top-k pass.
+Robustness contract (round 3 lost ALL structured output to a driver
+timeout, BENCH_r03.json rc=124/parsed=null):
+
+* the cumulative JSON record is printed to stdout AFTER EVERY section —
+  the last complete line wins, so a timeout mid-section loses only the
+  sections not yet run;
+* a hard SIGALRM at ``GUIDEMAKER_BENCH_BUDGET_S`` (default 520 s) and a
+  SIGTERM handler both emit the current record and exit, so even an
+  external `timeout` kill leaves the record on stdout;
+* every section has a remaining-time gate; sections that do not fit are
+  recorded as skipped (with the reason) instead of silently missing;
+* the one section with unbounded compile risk (leven e=3's tiered gram
+  filter, the section that ate round 3) runs LAST.
+
+Sections, in order: transport probe, retention headline, 131k top-k,
+full-pipeline e2e (warm, with stage table), leven e=2 retention, leven
+survivor list phase, C. ruddii k=3 (direct HNSW-baseline comparison),
+hardware test tier (`pytest -m tpu` in-process), cold-start e2e (fresh
+subprocess, empty JAX cache), leven e=3.
 """
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-import jax  # noqa: E402
-import numpy as np  # noqa: E402
-
 BASELINE_HNSW_TUNED_S = 0.090           # GridOptimization.ipynb cells 28-33
 BASELINE_HNSW_PAIRS = 3814 * 3814       # same-workload pair count
 BASELINE_PAIRS_PER_S = BASELINE_HNSW_PAIRS / BASELINE_HNSW_TUNED_S
+BASELINE_E2E_S = 90.0                   # reference README.md:15: ~1-2 min
+
+BUDGET_S = float(os.environ.get("GUIDEMAKER_BENCH_BUDGET_S", "520"))
+T0 = time.time()
+
+record: dict = {}
+_skipped: dict = {}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
+
+def remaining():
+    return BUDGET_S - (time.time() - T0)
+
+
+def emit():
+    """Print the cumulative record as one JSON line (last line wins)."""
+    out = dict(record)
+    if "metric" not in out:
+        # headline not yet measured: still emit something parseable
+        out.update(metric="bench_incomplete", value=round(time.time() - T0, 1),
+                   unit="s", vs_baseline=0.0)
+    if _skipped:
+        out["skipped_sections"] = dict(_skipped)
+    out["bench_elapsed_s"] = round(time.time() - T0, 1)
+    print(json.dumps(out), flush=True)
+
+
+def _die(signum, frame):
+    log(f"  [bench] signal {signum} at t={time.time()-T0:.0f}s; "
+        "emitting record and exiting")
+    emit()
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def section(name, budget_s):
+    """Decorator-ish gate: returns False (and records the skip) when the
+    remaining time cannot cover ``budget_s``."""
+    rem = remaining()
+    if rem < budget_s:
+        _skipped[name] = f"needs ~{budget_s:.0f}s, {rem:.0f}s left"
+        log(f"  [bench] SKIP {name}: needs ~{budget_s:.0f}s, "
+            f"{rem:.0f}s left")
+        return False
+    log(f"  [bench] section {name} (t={time.time()-T0:.0f}s, "
+        f"budget {budget_s:.0f}s)")
+    return True
+
+
+# ---------------------------------------------------------------------------
+# workload helpers
+# ---------------------------------------------------------------------------
 
 def load_targets(path, pam="NGG", orientation="5prime", length=20):
     from guidemaker_tpu import PamTarget, dna
@@ -63,7 +130,6 @@ def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=3):
     in-memory local compute)."""
     import functools
     import jax.numpy as jnp
-    from guidemaker_tpu import dna
     from guidemaker_tpu.knn import pallas_hamming as ph
     from guidemaker_tpu.knn.hamming import INF_KEY, unpack_keys
 
@@ -105,18 +171,12 @@ def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=3):
     return float(per_run), compile_s
 
 
-def run_e2e(stages: dict):
+def run_e2e(stages: dict, *, controls=1000, seed=42):
     """Full-pipeline wall time on P. aeruginosa (the reference's headline
     workload: README.md:15 '1-2 minutes on a laptop' for a typical
     bacterial genome), with the per-stage breakdown captured from the
-    pipeline's stage timers.
-
-    Runs with the d2h relay channel already open (the tunnel's one-time
-    ~400 s per-process cold-open is transport setup, not pipeline work —
-    a local TPU has no relay; see util.warm_d2h_channel).
-    """
+    pipeline's stage timers."""
     import logging
-    import tempfile
 
     from guidemaker_tpu.pipeline import PipelineConfig, run_pipeline
 
@@ -137,8 +197,8 @@ def run_e2e(stages: dict):
                               "Pseudomonas_aeruginosa.gbk.gz")],
         pamseq="NGG", pam_orientation="3prime", guidelength=20, lsr=10,
         dtype="hamming", dist=2, before=100, into=200, knum=3,
-        controls=1000, threads=2, doench_efficiency_score=True,
-        cfd_score=True, outdir=out, seed=42)
+        controls=controls, threads=2, doench_efficiency_score=True,
+        cfd_score=True, outdir=out, seed=seed)
     t0 = time.time()
     res = run_pipeline(cfg)
     e2e = time.time() - t0
@@ -150,136 +210,290 @@ def run_e2e(stages: dict):
     return e2e, len(res.targets)
 
 
+def cold_e2e_child():
+    """Child-process mode: honest cold start — fresh process, empty JAX
+    compilation cache (the parent points JAX_COMPILATION_CACHE_DIR at a
+    fresh tempdir), cold device channel.  The analog of a user's first
+    `guidemaker` invocation vs the reference's ~1-2 min (README.md:15).
+
+    Prints one JSON line with the cold timings; the parent merges it."""
+    import jax as _jax
+    import numpy as _np
+    import jax.numpy as _jnp
+    t0 = time.time()
+    _np.asarray(_jnp.zeros(8, _jnp.int32))
+    first_d2h = time.time() - t0
+    stages: dict = {}
+    t0 = time.time()
+    e2e, guides = run_e2e(stages)
+    out = {"cold_e2e_seconds": round(e2e, 2),
+           "cold_first_d2h_s": round(first_d2h, 2),
+           "cold_stages": {k: round(v, 2) for k, v in stages.items()},
+           "cold_guides": guides}
+    print(json.dumps(out), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
 def main():
+    global np, jax
+    signal.signal(signal.SIGTERM, _die)
+    signal.signal(signal.SIGALRM, _die)
+    signal.alarm(max(int(BUDGET_S), 30))
+
+    import jax
+    import numpy as np
+
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
-    from guidemaker_tpu.util import warm_d2h_channel
-    warm_d2h_channel()  # overlap the tunnel's one-time d2h stall with setup
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')} "
+        f"budget {BUDGET_S:.0f}s")
+    record["device"] = f"{dev.platform} {getattr(dev, 'device_kind', '')}"
+
+    # --- transport probe: time the first device->host transfer (the
+    # tunnel's relay-channel open; a local TPU pays microseconds here).
+    # This is the bench environment's transport tax, reported separately
+    # from pipeline compute. ---
+    import jax.numpy as jnp
+    t0 = time.time()
+    np.asarray(jnp.zeros(8, jnp.int32))
+    record["transport_first_d2h_s"] = round(time.time() - t0, 2)
+    from guidemaker_tpu.util import _start_d2h_keepalive
+    _start_d2h_keepalive()
+    log(f"  first d2h (channel open): {record['transport_first_d2h_s']} s")
 
     # --- headline: P. aeruginosa genome-wide retention (6.3 Mb) ---
-    from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
-    from guidemaker_tpu.knn.pallas_stream import (stream_count_device,
-                                                  stream_topk_device)
-    pa = os.path.join(REPO, "guidemaker_tpu", "data",
-                      "Pseudomonas_aeruginosa.gbk.gz")
-    pa_codes, n2, bp2 = load_targets(pa)
-    warm_d2h_channel(wait=True)   # executable/result downloads need it open
-    db_tile = 8192
-    dbb = prepare_db_codes(pa_codes, db_tile)
-    args = dict(db_tile=db_tile, q_tile=1024, q_dev=dbb, nq=int(dbb.shape[0]))
-    t0 = time.time()
-    counts = stream_count_device(None, dbb, n2, 2, 20, **args)  # + compile
-    compile_s = time.time() - t0
-    retained = int((counts[:n2] <= 1).sum())
-    times = []
-    for _ in range(3):
+    if section("retention", 60):
+        from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
+        from guidemaker_tpu.knn.pallas_stream import (stream_count_device,
+                                                      stream_topk_device)
+        pa = os.path.join(REPO, "guidemaker_tpu", "data",
+                          "Pseudomonas_aeruginosa.gbk.gz")
+        pa_codes, n2, bp2 = load_targets(pa)
+        db_tile = 8192
+        dbb = prepare_db_codes(pa_codes, db_tile)
+        args = dict(db_tile=db_tile, q_tile=1024, q_dev=dbb,
+                    nq=int(dbb.shape[0]))
         t0 = time.time()
-        stream_count_device(None, dbb, n2, 2, 20, **args)
-        times.append(time.time() - t0)
-    tc = min(times)
-    pairs = n2 * n2
-    rate = pairs / tc
-    log(f"  P. aeruginosa retention (all-vs-all, {pairs:.3g} pairs): "
-        f"{tc:.2f} s steady ({compile_s:.1f}s first call), "
-        f"{rate/1e12:.2f} T pairs/s, {retained} guides retained")
-
-    # post-annotation top-k pass (the other genome-scale kernel)
-    nsub = 131072
-    stream_topk_device(pa_codes[:nsub], dbb, n2, 3, 20,
-                       db_tile=db_tile, q_tile=256)  # compile+run
-    t0 = time.time()
-    stream_topk_device(pa_codes[:nsub], dbb, n2, 3, 20,
-                       db_tile=db_tile, q_tile=256)
-    tk = time.time() - t0
-    log(f"  P. aeruginosa top-3 for {nsub} retained guides: "
-        f"{tk:.2f} s e2e, {nsub*n2/tk/1e12:.2f} T pairs/s")
-
-    # --- Levenshtein at genome scale: retention + survivor top-k ---
-    leven_retention_rate = leven_topk_rate = leven_e3_rate = None
-    try:
-        from guidemaker_tpu.knn.leven import leven_pass_filter, leven_topk
-        t0 = time.time()
-        passed = leven_pass_filter(pa_codes, pa_codes, 2)
+        counts = stream_count_device(None, dbb, n2, 2, 20, **args)
         compile_s = time.time() - t0
-        t0 = time.time()
-        leven_pass_filter(pa_codes, pa_codes, 2)
-        tl_ = time.time() - t0
-        leven_retention_rate = pairs / tl_
-        log(f"  P. aeruginosa LEVEN retention e=2 (all-vs-all, {pairs:.3g} "
-            f"pairs): {tl_:.2f} s steady ({compile_s:.1f}s first call), "
-            f"{leven_retention_rate/1e12:.2f} T pairs/s, "
-            f"{int(passed.sum())} guides retained "
-            f"(exact leven<2 == hamming<2 shortcut)")
-        # e=3: the tiered positional 3-gram filter path
-        t0 = time.time()
-        p3 = leven_pass_filter(pa_codes, pa_codes, 3)
-        compile_s = time.time() - t0
-        t0 = time.time()
-        leven_pass_filter(pa_codes, pa_codes, 3)
-        tl3 = time.time() - t0
-        leven_e3_rate = pairs / tl3
-        log(f"  P. aeruginosa LEVEN retention e=3 (gram-filter tiers): "
-            f"{tl3:.2f} s steady ({compile_s:.1f}s first call), "
-            f"{leven_e3_rate/1e12:.2f} T pairs/s, "
-            f"{int(p3.sum())} guides retained")
-        # survivor neighbor lists (phase 2): cummin-DP top-k rate on a
-        # 4096-query slice vs the full database
-        nsub_l = 4096
-        leven_topk(pa_codes[:nsub_l], pa_codes, 3)          # compile
-        t0 = time.time()
-        leven_topk(pa_codes[:nsub_l], pa_codes, 3)
-        tk_l = time.time() - t0
-        leven_topk_rate = nsub_l * n2 / tk_l
-        log(f"  P. aeruginosa LEVEN top-3 for {nsub_l} guides: "
-            f"{tk_l:.2f} s, {leven_topk_rate/1e9:.2f} G pairs/s "
-            f"(full-DP exact lists)")
-    except Exception as e:
-        log(f"  leven benchmark failed: {e!r}")
+        retained = int((counts[:n2] <= 1).sum())
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            stream_count_device(None, dbb, n2, 2, 20, **args)
+            times.append(time.time() - t0)
+        tc = min(times)
+        pairs = n2 * n2
+        rate = pairs / tc
+        record.update(
+            metric="pa_genomewide_retention_pairs_per_s",
+            value=round(rate, 0), unit="pairs/s",
+            vs_baseline=round(rate / BASELINE_PAIRS_PER_S, 2),
+            retention_seconds=round(tc, 3),
+            retention_compile_s=round(compile_s, 1),
+            retention_guides=retained)
+        log(f"  P. aeruginosa retention (all-vs-all, {pairs:.3g} pairs): "
+            f"{tc:.2f} s steady ({compile_s:.1f}s first call), "
+            f"{rate/1e12:.2f} T pairs/s, {retained} guides retained")
+        emit()
 
-    # --- C. ruddii k=3 steady (direct HNSW-baseline comparison) ---
-    try:
-        cr = os.path.join(REPO, "tests", "test_data",
-                          "Carsonella_ruddii.gbk.gz")
-        cr_codes, n, _ = load_targets(cr)
-        t_med, t_compile = bench_cruddii(cr_codes, 3, 20)
-        log(f"  C. ruddii exact k=3: {t_med*1e3:.3f} ms steady "
-            f"({t_compile:.1f}s first-call compile), "
-            f"{n*n/t_med/1e9:.2f} G pairs/s "
-            f"(HNSW tuned baseline: 90 ms at recall 0.99)")
-    except Exception as e:   # C. ruddii detail is informative, not the metric
-        log(f"  C. ruddii run skipped: {e!r}")
+        # post-annotation top-k pass (the other genome-scale kernel)
+        if section("topk131k", 30):
+            nsub = 131072
+            stream_topk_device(pa_codes[:nsub], dbb, n2, 3, 20,
+                               db_tile=db_tile, q_tile=256)  # compile+run
+            t0 = time.time()
+            stream_topk_device(pa_codes[:nsub], dbb, n2, 3, 20,
+                               db_tile=db_tile, q_tile=256)
+            tk = time.time() - t0
+            record["topk_131k_seconds"] = round(tk, 2)
+            record["topk_pairs_per_s"] = round(nsub * n2 / tk)
+            log(f"  P. aeruginosa top-3 for {nsub} retained guides: "
+                f"{tk:.2f} s e2e, {nsub*n2/tk/1e12:.2f} T pairs/s")
+            emit()
+    else:
+        pa_codes = None
 
     # --- full pipeline end-to-end (the reference's 1-2 min workload) ---
-    stages: dict = {}
-    e2e_seconds = e2e_guides = None
-    try:
-        e2e_seconds, e2e_guides = run_e2e(stages)
-    except Exception as e:  # e2e detail must not sink the headline metric
-        log(f"  e2e pipeline run failed: {e!r}")
+    if section("e2e", 120):
+        stages: dict = {}
+        try:
+            e2e_seconds, e2e_guides = run_e2e(stages)
+            record["e2e_seconds"] = round(e2e_seconds, 2)
+            record["e2e_guides"] = e2e_guides
+            record["e2e_stages"] = {k: round(v, 2) for k, v in stages.items()}
+            record["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_seconds, 2)
+        except Exception as e:  # e2e detail must not sink the headline
+            log(f"  e2e pipeline run failed: {e!r}")
+            record["e2e_error"] = repr(e)[:200]
+        emit()
+
+    # --- Levenshtein e=2 retention (rides the Hamming counting kernel) ---
+    if pa_codes is not None and section("leven_e2", 40):
+        try:
+            from guidemaker_tpu.knn.leven import leven_pass_filter
+            t0 = time.time()
+            passed = leven_pass_filter(pa_codes, pa_codes, 2)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            leven_pass_filter(pa_codes, pa_codes, 2)
+            tl_ = time.time() - t0
+            pairs = pa_codes.shape[0] ** 2
+            record["leven_retention_pairs_per_s"] = round(pairs / tl_)
+            log(f"  P. aeruginosa LEVEN retention e=2: {tl_:.2f} s steady "
+                f"({compile_s:.1f}s first call), {pairs/tl_/1e12:.2f} T "
+                f"pairs/s, {int(passed.sum())} retained")
+        except Exception as e:
+            log(f"  leven e2 failed: {e!r}")
+        emit()
+
+    # --- Levenshtein survivor list phase (the post-annotation neighbor
+    # lists for --dtype leven; VERDICT r3 weak #5) ---
+    if pa_codes is not None and section("leven_lists", 75):
+        try:
+            from guidemaker_tpu.knn import leven as lv
+            nsub = 131072
+            nd = pa_codes.shape[0]
+            fn = getattr(lv, "leven_topk_banded", lv.leven_topk)
+            fn(pa_codes[:1024], pa_codes, 3)          # compile on small slice
+            t0 = time.time()
+            fn(pa_codes[:nsub], pa_codes, 3)
+            tk_l = time.time() - t0
+            record["leven_list_131k_seconds"] = round(tk_l, 2)
+            record["leven_list_pairs_per_s"] = round(nsub * nd / tk_l)
+            record["leven_list_kernel"] = fn.__name__
+            log(f"  P. aeruginosa LEVEN top-3 lists for {nsub} survivors: "
+                f"{tk_l:.2f} s ({fn.__name__}), "
+                f"{nsub*nd/tk_l/1e12:.3f} T pairs/s")
+        except Exception as e:
+            log(f"  leven list phase failed: {e!r}")
+        emit()
+
+    # --- C. ruddii k=3 steady (direct HNSW-baseline comparison) ---
+    if section("cruddii", 35):
+        try:
+            cr = os.path.join(REPO, "tests", "test_data",
+                              "Carsonella_ruddii.gbk.gz")
+            cr_codes, n, _ = load_targets(cr)
+            t_med, t_compile = bench_cruddii(cr_codes, 3, 20)
+            record["cruddii_k3_seconds"] = round(t_med, 6)
+            record["cruddii_vs_hnsw_tuned"] = round(
+                BASELINE_HNSW_TUNED_S / t_med, 1)
+            log(f"  C. ruddii exact k=3: {t_med*1e3:.3f} ms steady "
+                f"({t_compile:.1f}s first-call compile), "
+                f"{n*n/t_med/1e9:.2f} G pairs/s "
+                f"(HNSW tuned baseline: 90 ms at recall 0.99)")
+        except Exception as e:
+            log(f"  C. ruddii run skipped: {e!r}")
+        emit()
+
+    # --- hardware test tier: pytest -m tpu on the live backend ---
+    if on_tpu and section("hw_tests", 140):
+        try:
+            import pytest as _pytest
+
+            class _Count:
+                passed = failed = skipped = 0
+
+                def pytest_runtest_logreport(self, report):
+                    if report.when == "call":
+                        if report.passed:
+                            _Count.passed += 1
+                        elif report.failed:
+                            _Count.failed += 1
+                    elif report.failed:
+                        _Count.failed += 1
+                    if report.when == "setup" and report.skipped:
+                        _Count.skipped += 1
+
+            os.environ["GUIDEMAKER_TPU_HW"] = "1"
+            rc = _pytest.main(
+                ["-q", "-m", "tpu", "-p", "no:cacheprovider", "--no-header",
+                 os.path.join(REPO, "tests", "test_tpu_hw.py")],
+                plugins=[_Count()])
+            record["hw_tests"] = {"passed": _Count.passed,
+                                  "failed": _Count.failed,
+                                  "rc": int(rc)}
+            log(f"  hw tier: {_Count.passed} passed, {_Count.failed} failed "
+                f"(rc={rc})")
+        except Exception as e:
+            log(f"  hw tier failed to run: {e!r}")
+            record["hw_tests"] = {"error": repr(e)[:200]}
+        emit()
+
+    # --- cold-start e2e: fresh process, empty JAX compilation cache ---
+    if section("cold_e2e", 150):
+        cache = tempfile.mkdtemp(prefix="gm_cold_jax_cache_")
+        env = dict(os.environ)
+        env["JAX_COMPILATION_CACHE_DIR"] = cache
+        env.pop("GUIDEMAKER_TPU_HW", None)
+        child_budget = min(remaining() - 15, 420)
+        try:
+            t0 = time.time()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cold-e2e"],
+                env=env, capture_output=True, text=True,
+                timeout=child_budget)
+            wall = time.time() - t0
+            cold = None
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        cold = json.loads(line)
+                    except ValueError:
+                        pass
+            if cold:
+                record["e2e_cold_seconds"] = cold["cold_e2e_seconds"]
+                record["e2e_cold_first_d2h_s"] = cold["cold_first_d2h_s"]
+                record["e2e_cold_stages"] = cold["cold_stages"]
+                record["e2e_cold_process_wall_s"] = round(wall, 2)
+                log(f"  cold e2e: {cold['cold_e2e_seconds']} s pipeline "
+                    f"({wall:.1f} s process wall, first d2h "
+                    f"{cold['cold_first_d2h_s']} s)")
+            else:
+                record["e2e_cold_error"] = (proc.stderr or "no output")[-300:]
+                log(f"  cold e2e child produced no record (rc={proc.returncode})")
+                log((proc.stderr or "")[-800:])
+        except subprocess.TimeoutExpired:
+            record["e2e_cold_error"] = f"timeout after {child_budget:.0f}s"
+            log(f"  cold e2e child timed out after {child_budget:.0f}s")
+        emit()
+
+    # --- leven e=3 (tiered gram filter) — LAST: unbounded compile risk
+    # (this section's first-call compile ate round 3's whole window) ---
+    if pa_codes is not None and section("leven_e3", 110):
+        try:
+            from guidemaker_tpu.knn.leven import leven_pass_filter
+            pairs = pa_codes.shape[0] ** 2
+            t0 = time.time()
+            p3 = leven_pass_filter(pa_codes, pa_codes, 3)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            leven_pass_filter(pa_codes, pa_codes, 3)
+            tl3 = time.time() - t0
+            record["leven_e3_retention_pairs_per_s"] = round(pairs / tl3)
+            record["leven_e3_seconds"] = round(tl3, 2)
+            log(f"  P. aeruginosa LEVEN retention e=3: {tl3:.2f} s steady "
+                f"({compile_s:.1f}s first call), {pairs/tl3/1e12:.2f} T "
+                f"pairs/s, {int(p3.sum())} retained")
+        except Exception as e:
+            log(f"  leven e3 failed: {e!r}")
+        emit()
 
     if not on_tpu:
         log("  WARNING: not on TPU; rates are not comparable")
-    record = {
-        "metric": "pa_genomewide_retention_pairs_per_s",
-        "value": round(rate, 0),
-        "unit": "pairs/s",
-        "vs_baseline": round(rate / BASELINE_PAIRS_PER_S, 2),
-    }
-    if leven_retention_rate is not None:
-        record["leven_retention_pairs_per_s"] = round(leven_retention_rate)
-    if leven_e3_rate is not None:
-        record["leven_e3_retention_pairs_per_s"] = round(leven_e3_rate)
-    if leven_topk_rate is not None:
-        record["leven_topk_pairs_per_s"] = round(leven_topk_rate)
-    if e2e_seconds is not None:
-        record["e2e_seconds"] = round(e2e_seconds, 2)
-        record["e2e_guides"] = e2e_guides
-        record["e2e_stages"] = {k: round(v, 2) for k, v in stages.items()}
-        # reference anchor: ~1-2 min on a laptop (README.md:15)
-        record["e2e_vs_baseline"] = round(90.0 / e2e_seconds, 2)
-    print(json.dumps(record), flush=True)
+        record["not_tpu"] = True
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    if "--cold-e2e" in sys.argv:
+        import numpy as np  # noqa: F401  (run_e2e path needs module names)
+        import jax  # noqa: F401
+        cold_e2e_child()
+    else:
+        main()

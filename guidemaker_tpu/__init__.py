@@ -23,6 +23,33 @@ import os as _os
 # streaming-topk programs per genome-scale run) are shape-stable across
 # runs, so cache them on disk.  Opt out with GUIDEMAKER_TPU_NO_CACHE=1 or
 # by setting JAX_COMPILATION_CACHE_DIR yourself.
+
+
+def _host_cpu_sig() -> str:
+    """Short fingerprint of the host CPU's feature flags.
+
+    XLA's CPU backend AOT-compiles for the *compiling* host's machine
+    features; a persistent-cache hit written on a different machine can
+    SIGILL (observed: ``cpu_aot_loader.cc:210`` machine-feature-mismatch
+    warnings when one shared cache dir served several driver hosts).
+    Keying the cache directory by the feature set makes a cross-machine
+    hit impossible while still sharing within identical hosts.
+    """
+    import hashlib
+    import platform as _platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    sig = hashlib.md5(flags.encode()).hexdigest()[:10] if flags else "noflags"
+    return f"{_platform.machine()}-{sig}"
+
+
 if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
         not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
@@ -30,7 +57,8 @@ if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
         if _jax.config.jax_compilation_cache_dir is None:
             _jax.config.update(
                 "jax_compilation_cache_dir",
-                _os.path.expanduser("~/.cache/guidemaker_tpu/jax"))
+                _os.path.expanduser(
+                    f"~/.cache/guidemaker_tpu/jax-{_host_cpu_sig()}"))
             # cache everything: with remote-compile backends even a fast
             # compile is a network round trip a cache hit avoids entirely
             _jax.config.update(
