@@ -23,17 +23,25 @@ semantics survives (see ``tools/derive_900.py`` and PARITY.md item 7):
   guide-strand string that rides along in the score column;
 * ``-fd`` admits only strictly-downstream features (``feature start >
   guide end``) — overlapping and book-ended features are skipped;
-* ``-id`` admits overlapping features (distance 0) and strictly-upstream
-  features (``feature end < guide start``);
-* distance magnitude is the half-open gap (``fs - ge`` / ``gs - fe``);
-  book-ended intervals (gap 0) are invisible to both passes.  The
-  classic ``-d``-style "book-ended = 1" reading is refuted by the
-  reference's own (900, 23) assertion (it yields 899; the three
-  affected rows are named in PARITY.md).  An alternative reading
-  (book-ended counts as overlap + gap+1 distances) selects identical
-  rows with every non-overlap distance shifted by +1 and cannot be
-  distinguished by any artifact the reference pins; the gap form is
-  implemented;
+* ``-id`` admits overlapping AND book-ended features (distance 0) and
+  strictly-upstream features (``feature end < guide start``);
+* **distance magnitude is gap + 1** (``fs - ge + 1`` downstream,
+  ``-(gs - fe + 1)`` upstream) and **book-ended intervals (gap 0) count
+  as overlap** (distance 0).  This is bedtools2's documented behavior:
+  the ``closest`` docs' ``-d``/``-D`` examples report the 1-based
+  base-to-base distance (a 1-bp gap prints as 2, e.g. the docs'
+  ``a=[10,20) b=[7,9) -D ref -> -2``), i.e. the count of positions from
+  the last base of one interval to the first base of the other, with 0
+  reserved for touching-or-overlapping pairs — which also keeps the
+  ``-1`` null sentinel unambiguous (real distances are 0, >= 2, or
+  <= -2, never +-1).  Among the ``closest`` interpretations that
+  reproduce the reference's pinned artifacts (see below), exactly two
+  remained: "gap magnitudes + book-ended invisible" and "gap+1
+  magnitudes + book-ended = overlap"; the public doc examples refute
+  the gap form, so gap+1 is implemented.  The third reading
+  ("book-ended admitted downstream at distance 1") is refuted directly
+  by the reference's own (900, 23) assertion (it yields 899; the three
+  affected rows are named in PARITY.md);
 * ties broken by first B record in sorted file order (``-t first``);
 * a null row (".", -1, -1, ".", ".", distance -1) when no candidate
   exists.
@@ -130,25 +138,28 @@ def closest_join_raw(g_chrom, g_start, g_end, g_name, g_strand,
 
         if want_down:
             # -fd: strictly downstream only (fs > ge); overlapping and
-            # book-ended features are skipped; distance is the gap
+            # book-ended features are skipped; distance is gap + 1
+            # (bedtools' 1-based base-to-base count, so minimum +2)
             j_r = np.searchsorted(fs, ge, side="right")
             chosen_has = j_r < nfeat
             chosen_j = np.minimum(j_r, nfeat - 1)
-            chosen_dist = np.where(chosen_has, fs[chosen_j] - ge, -1)
+            chosen_dist = np.where(chosen_has, fs[chosen_j] - ge + 1, -1)
         else:
-            # -id: first overlapping feature (distance 0) wins, else the
-            # nearest strictly-upstream feature (fe < gs, distance -gap)
-            j_ov = np.searchsorted(fc["prefmax"], gs, side="right")
+            # -id: first touching-or-overlapping feature (distance 0,
+            # book-ended included: fe >= gs and fs <= ge) wins, else the
+            # nearest strictly-upstream feature (fe < gs, dist -(gap+1))
+            j_ov = np.searchsorted(fc["prefmax"], gs, side="left")
             has_ov = (j_ov < nfeat) & (
                 np.where(j_ov < nfeat, fs[np.minimum(j_ov, nfeat - 1)],
-                         np.iinfo(np.int64).max) < ge)
+                         np.iinfo(np.int64).max) <= ge)
 
             j_l_e = np.searchsorted(fc["fe_sorted"], gs, side="left") - 1
             has_l = j_l_e >= 0
             j_l_e_first = fc["first_same_end"][np.maximum(j_l_e, 0)]
             j_l = fc["e_order"][j_l_e_first]
             dist_l = np.where(has_l,
-                              gs - fc["fe_sorted"][np.maximum(j_l_e, 0)], -1)
+                              gs - fc["fe_sorted"][np.maximum(j_l_e, 0)] + 1,
+                              -1)
 
             chosen_j = np.where(has_ov, np.minimum(j_ov, nfeat - 1), j_l)
             chosen_has = has_ov | has_l

@@ -128,10 +128,18 @@ def bytes_rows_to_str_array(byte_rows: np.ndarray, exceptions=None):
     import pyarrow as pa
     n, length = byte_rows.shape
     if not exceptions:
-        offsets = np.arange(0, (n + 1) * length, length, dtype=np.int32)
-        arr = pa.StringArray.from_buffers(
-            n, pa.py_buffer(offsets),
-            pa.py_buffer(np.ascontiguousarray(byte_rows)))
+        # mirror the exceptions path: int32 offsets silently wrap past
+        # 2^31 bytes (~107M 20-mers), so switch to LargeStringArray there
+        if n * length <= np.iinfo(np.int32).max:
+            offsets = np.arange(0, (n + 1) * length, length, dtype=np.int32)
+            arr = pa.StringArray.from_buffers(
+                n, pa.py_buffer(offsets),
+                pa.py_buffer(np.ascontiguousarray(byte_rows)))
+        else:
+            offsets = np.arange(0, (n + 1) * length, length, dtype=np.int64)
+            arr = pa.LargeStringArray.from_buffers(
+                n, pa.py_buffer(offsets),
+                pa.py_buffer(np.ascontiguousarray(byte_rows)))
         return pd.array(arr, dtype="str")
     exc = {int(i): s.encode("ascii") for i, s in exceptions.items()}
     lens = np.full(n, length, dtype=np.int64)

@@ -164,14 +164,17 @@ class PamTarget:
                             count=len(chunks)),
                 sizes)
             # categories: only contigs that produced hits, sorted (matches
-            # astype("category") on the concatenated string column)
+            # astype("category") on the concatenated string column).
+            # Duplicate record ids across contigs (legal FASTA, merged
+            # silently by astype("category")) map to ONE category index —
+            # Categorical.from_codes requires unique categories.
             present = np.unique(seq_codes)
-            cat_order = present[np.argsort([rids[i] for i in present],
-                                           kind="stable")]
+            cats = sorted({rids[i] for i in present})
+            cat_pos = {s: j for j, s in enumerate(cats)}
             rank = np.full(len(rids), -1, dtype=np.int64)
-            rank[cat_order] = np.arange(cat_order.size)
-            seqid = pd.Categorical.from_codes(
-                rank[seq_codes], [rids[i] for i in cat_order])
+            for i in present:
+                rank[i] = cat_pos[rids[i]]
+            seqid = pd.Categorical.from_codes(rank[seq_codes], cats)
             df_targets = pd.DataFrame({
                 "target": dna.rows_to_str_array(tmat),
                 "exact_pam": exact_pam,

@@ -448,6 +448,9 @@ class TargetProcessor:
                     parse_fasta(fastapath), configpath, length, n,
                     num_threads, seed)
             except BaseException as exc:   # re-raised by get_control_seqs
+                # also log now: if the join is skipped (arg mismatch or
+                # caller never joins) the failure must not vanish
+                logger.error("background control search failed: %r", exc)
                 self._control_exc = exc
 
         t = threading.Thread(target=_run, name="gm-control-search",
@@ -473,6 +476,11 @@ class TargetProcessor:
         If :meth:`launch_control_search` was started with the same
         parameters, this joins that thread instead of recomputing.
         """
+        # join key: every parameter the search RESULT depends on.
+        # ``num_threads`` is deliberately excluded — it is a reference-API
+        # parity no-op here (the exact device search has no thread knob,
+        # see _get_control_seqs_now), so a differing value must not force
+        # a silent recompute of identical work.
         th = getattr(self, "_control_thread", None)
         if (th is not None
                 and getattr(self, "_control_args", None)
@@ -482,6 +490,12 @@ class TargetProcessor:
             if self._control_exc is not None:
                 raise self._control_exc
             return self._control_result
+        if th is not None and th.is_alive():
+            logger.warning(
+                "control search parameters changed (%r -> %r); recomputing "
+                "while the stale background search still runs",
+                getattr(self, "_control_args", None),
+                (configpath, length, n, seed))
         return self._get_control_seqs_now(seq_record_iter, configpath,
                                           length, n, num_threads, seed)
 

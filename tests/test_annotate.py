@@ -96,8 +96,9 @@ def test_locuslen(pipeline):
 # ---------------------------------------------------------------------------
 
 def _brute_closest(guides, features, direction):
-    """Brute-force oracle of the derived semantics (closest.py docstring):
-    strand-blind orientation, gap distances, book-ended invisible."""
+    """Brute-force oracle of the resolved bedtools2 semantics (closest.py
+    docstring): strand-blind orientation, gap+1 distances (1-based
+    base-to-base count), book-ended counts as overlap (distance 0)."""
     rows = []
     feats = list(features.itertuples(index=False))
     for g in guides.itertuples(index=False):
@@ -107,14 +108,15 @@ def _brute_closest(guides, features, direction):
         for order, f in enumerate(feats):
             if f.chrom != g.chrom:
                 continue
-            if f.chromStart < g.chromend and f.chromEnd > g.chromstart:
+            if f.chromStart <= g.chromend and f.chromEnd >= g.chromstart:
+                # touching-or-overlapping: distance 0, skipped by -fd
                 if ov is None:
                     ov = (order, f, 0)
                 continue
             if want_down and f.chromStart > g.chromend:
-                d = f.chromStart - g.chromend
+                d = f.chromStart - g.chromend + 1
             elif not want_down and f.chromEnd < g.chromstart:
-                d = g.chromstart - f.chromEnd
+                d = g.chromstart - f.chromEnd + 1
             else:
                 continue
             if best is None or (d, order) < (best[2], best[0]):
@@ -166,10 +168,12 @@ def test_closest_join_no_features_on_chrom():
     assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
 
 
-def test_closest_join_bookended_invisible():
-    """Book-ended features (gap 0, no overlap) are skipped by both passes
-    (the derived semantics; the classic "book-ended = 1" reading is
-    refuted by the reference's (900, 23) — PARITY.md item 7)."""
+def test_closest_join_bookended_is_overlap():
+    """Book-ended features (gap 0, no overlap) count as overlap: skipped
+    by the -fd pass, reported at distance 0 by the -id pass.  Non-overlap
+    distances are gap+1 (bedtools2's 1-based base-to-base count; the
+    "book-ended admitted downstream at distance 1" reading is refuted by
+    the reference's (900, 23) — PARITY.md item 7)."""
     guides = pd.DataFrame({"chrom": ["c1"], "chromstart": [10],
                            "chromend": [30], "name": ["g"], "strand": ["+"]})
     features = pd.DataFrame({"chrom": ["c1"], "chromStart": [30],
@@ -177,11 +181,20 @@ def test_closest_join_bookended_invisible():
     out = closest_join(guides, features, "downstream")
     assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
     out = closest_join(guides, features, "upstream")
-    assert out.iloc[0][5] == "." and out.iloc[0][10] == -1
-    # one base of separation: downstream picks it up at gap distance 1
+    assert out.iloc[0][8] == "f" and out.iloc[0][10] == 0
+    # book-ended on the left edge: also distance 0 in the -id pass
+    features_l = pd.DataFrame({"chrom": ["c1"], "chromStart": [0],
+                               "chromEnd": [10], "name": ["fl"],
+                               "strand": ["+"]})
+    out = closest_join(guides, features_l, "upstream")
+    assert out.iloc[0][8] == "fl" and out.iloc[0][10] == 0
+    # one base of separation: downstream at gap+1 = 2; real distances
+    # are never +-1 (the -1 null sentinel stays unambiguous)
     features2 = features.assign(chromStart=[31])
     out = closest_join(guides, features2, "downstream")
-    assert out.iloc[0][10] == 1
+    assert out.iloc[0][10] == 2
+    out = closest_join(guides, features_l.assign(chromEnd=[9]), "upstream")
+    assert out.iloc[0][10] == -2
 
 
 def test_closest_join_strand_blind():
@@ -197,6 +210,46 @@ def test_closest_join_strand_blind():
                              "name": ["left", "right"],
                              "strand": ["+", "+"]})
     down = closest_join(guides, features, "downstream")
-    assert down.iloc[0][8] == "right" and down.iloc[0][10] == 30
+    assert down.iloc[0][8] == "right" and down.iloc[0][10] == 31
     up = closest_join(guides, features, "upstream")
-    assert up.iloc[0][8] == "left" and up.iloc[0][10] == -50
+    assert up.iloc[0][8] == "left" and up.iloc[0][10] == -51
+
+
+def test_filter_boundary_rows_under_base1_distances():
+    """Row selection at the --before boundary under the resolved bedtools2
+    distance semantics (gap+1 / book-ended-as-overlap; VERDICT r3 #3).
+
+    The reference's first filter clause is ``0 < Feature distance <
+    before`` (core.py:864-865), so the distance FORM changes which rows
+    pass at the boundary: with ``before=100``, a guide 98 bp before a
+    same-strand feature (distance 99) passes while a guide 99 bp before
+    it (distance 100) does not — under plain-gap semantics the latter
+    would have passed at distance 99.  A book-ended guide is reported by
+    the upstream pass at distance 0 and kept by the zero-distance clause.
+    """
+    from guidemaker_tpu.annotate.annotation import Annotation
+
+    feature = pd.DataFrame({
+        "chrom": ["c1"], "chromStart": [500], "chromEnd": [800],
+        "name": ["feat"], "strand": ["+"]})
+    guides = pd.DataFrame({
+        "chrom": "c1",
+        "chromstart": [382, 381, 480, 479],
+        "chromend":   [402, 401, 500, 499],
+        "name": ["gap98", "gap99", "book", "gap1"],
+        "strand": "+"})
+    anno = Annotation(annotation_list=[], annotation_type="genbank",
+                      target_bed_df=guides)
+    anno.genbank_bed_df = feature
+    anno._get_nearby_features()
+
+    down = anno.nearby[anno.nearby["direction"] == "downstream"]
+    dist = dict(zip(down["Guide sequence"], down["Feature distance"]))
+    assert dist == {"gap98": 99, "gap99": 100, "book": -1, "gap1": 2}
+    up = anno.nearby[anno.nearby["direction"] == "upstream"]
+    updist = dict(zip(up["Guide sequence"], up["Feature distance"]))
+    assert updist["book"] == 0            # book-ended = overlap
+
+    anno._filter_features(before_feat=100, after_feat=200)
+    kept = set(anno.filtered_df["Guide sequence"])
+    assert kept == {"gap98", "book", "gap1"}   # gap99 fails 100 < 100
