@@ -41,8 +41,12 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+import jax  # noqa: E402  (module import only; backend init is lazy)
 
 BASELINE_HNSW_TUNED_S = 0.090           # GridOptimization.ipynb cells 28-33
 BASELINE_HNSW_PAIRS = 3814 * 3814       # same-workload pair count
@@ -238,13 +242,9 @@ def cold_e2e_child():
 # ---------------------------------------------------------------------------
 
 def main():
-    global np, jax
     signal.signal(signal.SIGTERM, _die)
     signal.signal(signal.SIGALRM, _die)
     signal.alarm(max(int(BUDGET_S), 30))
-
-    import jax
-    import numpy as np
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -492,8 +492,6 @@ def main():
 
 if __name__ == "__main__":
     if "--cold-e2e" in sys.argv:
-        import numpy as np  # noqa: F401  (run_e2e path needs module names)
-        import jax  # noqa: F401
         cold_e2e_child()
     else:
         main()

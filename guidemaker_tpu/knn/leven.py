@@ -55,17 +55,70 @@ def leven_block(qc: jnp.ndarray, dc: jnp.ndarray, *, length: int) -> jnp.ndarray
     return d_prev[..., -1]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "length", "db_tile"))
-def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile):
+@functools.partial(jax.jit, static_argnames=("length",))
+def leven_block_myers(qc: jnp.ndarray, dc: jnp.ndarray, *,
+                      length: int) -> jnp.ndarray:
+    """Bit-parallel Levenshtein (Myers 1999) for every (query, db) pair.
+
+    Each pair's whole DP column state lives in ONE int32 (guide length
+    <= 27 < 31 bits): the vertical delta vectors Pv/Mv advance one text
+    character per step with ~24 int32 VPU ops, vs ~400 for the cummin
+    row recurrence of :func:`leven_block` — measured ~9x faster at
+    genome scale on v5e.  Exact for equal- or unequal-length inputs of
+    a common padded width; here both sides are ``length`` codes.
+
+    qc: (tq, L) uint8 pattern codes; dc: (td, L) uint8 text codes
+    -> (tq, td) int32 edit distances.
+    """
+    tq, td = qc.shape[0], dc.shape[0]
+    m = length
+    mask = jnp.int32((1 << m) - 1)
+    bit_m = jnp.int32(1 << (m - 1))
+    # per-query match bitmasks Peq[c]: bit i set iff pattern[i] == c
+    pos = (jnp.int32(1) << jnp.arange(m, dtype=jnp.int32))      # (L,)
+    peq = [jnp.sum(jnp.where(qc[:, :m] == c, pos[None, :], 0),
+                   axis=1).astype(jnp.int32)[:, None]            # (tq, 1)
+           for c in range(4)]
+
+    pv = jnp.full((tq, td), mask, dtype=jnp.int32)
+    mv = jnp.zeros((tq, td), dtype=jnp.int32)
+    score = jnp.full((tq, td), m, dtype=jnp.int32)
+
+    for j in range(m):
+        c = dc[:, j].astype(jnp.int32)[None, :]                  # (1, td)
+        b0 = (c & 1).astype(jnp.bool_)
+        b1 = (c >> 1).astype(jnp.bool_)
+        e0 = jnp.where(b0, peq[1], peq[0])
+        e1 = jnp.where(b0, peq[3], peq[2])
+        eq = jnp.where(b1, e1, e0)                               # (tq, td)
+
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        score = score + ((ph & bit_m) >> (m - 1)) \
+            - ((mh & bit_m) >> (m - 1))
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+@functools.partial(jax.jit, static_argnames=("k", "length", "db_tile",
+                                              "engine"))
+def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile,
+                      engine="myers"):
     """Running top-k of packed (dist, idx) keys over Levenshtein db tiles."""
     n_tiles = db_codes.shape[0] // db_tile
     tq = qc.shape[0]
     init = jnp.full((tq, k), INF_KEY, dtype=jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, db_tile), 1)
+    block = leven_block_myers if engine == "myers" else leven_block
 
     def body(best, t):
         tile = jax.lax.dynamic_slice_in_dim(db_codes, t * db_tile, db_tile)
-        dist = leven_block(qc, tile, length=length)
+        dist = block(qc, tile, length=length)
         gidx = t * db_tile + lane
         keys = jnp.where(gidx < db_n, pack_keys(dist, gidx + idx_offset), INF_KEY)
         return _merge_topk(best, keys, k), None
@@ -75,9 +128,9 @@ def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "length", "db_tile",
-                                              "q_tile"))
+                                              "q_tile", "engine"))
 def _topk_scan_leven(q_pad, db_codes, db_n, idx_offset, *, k, length,
-                     db_tile, q_tile):
+                     db_tile, q_tile, engine="myers"):
     """Single-dispatch driver: lax.scan over query tiles around the db-tile
     running top-k — one kernel launch for the whole query set (the per-tile
     host loop used to cost one tunnel RTT per 512 queries)."""
@@ -86,7 +139,8 @@ def _topk_scan_leven(q_pad, db_codes, db_n, idx_offset, *, k, length,
 
     def step(_, qtile):
         return None, _topk_tiles_leven(qtile, db_codes, db_n, idx_offset,
-                                       k=k, length=length, db_tile=db_tile)
+                                       k=k, length=length, db_tile=db_tile,
+                                       engine=engine)
 
     _, keys = jax.lax.scan(step, None, qt)
     return keys.reshape(n_qt * q_tile, k)
@@ -102,13 +156,15 @@ _TOPK_CHUNK = 8192
 
 def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
                db_tile: int = 1024, q_tile: int = 512, idx_offset: int = 0,
-               db_dev=None, chunk: int = _TOPK_CHUNK):
+               db_dev=None, chunk: int = _TOPK_CHUNK, engine: str = "myers"):
     """Exact k smallest Levenshtein distances per query (see hamming_topk).
 
     Queries are dispatched in ``chunk``-row slices (pow2-bucketed, so the
     program set stays logarithmic); pass a pre-transferred ``db_dev``
     (from ``jnp.asarray(_pad_rows(db_codes, db_tile))``) to reuse a
-    device-resident database across calls.
+    device-resident database across calls.  ``engine`` selects the block
+    kernel: "myers" (bit-parallel, the default) or "dp" (the cummin row
+    recurrence, kept as the cross-check oracle).
     """
     nq, nd = q_codes.shape[0], db_codes.shape[0]
     length = q_codes.shape[1]
@@ -130,7 +186,7 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
         outs.append(fetch(_topk_scan_leven(
             jnp.asarray(q_pad), db_dev, jnp.int32(nd),
             jnp.int32(idx_offset), k=k_eff, length=length,
-            db_tile=db_tile, q_tile=qt))[:m])
+            db_tile=db_tile, q_tile=qt, engine=engine))[:m])
     out = np.concatenate(outs) if outs else np.empty((0, k_eff), np.int32)
 
     dist, idx = unpack_keys(out)
@@ -377,6 +433,12 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
         # guides): exact chunked full-DP for everything
         d2, _ = leven_topk(q_codes, db_codes, 2)
         return (d2[:, 1] >= 0) & (d2[:, 1] >= e)
+    # gram features are wide ((glen)*64 int8 lanes, 1152 for 20-mers);
+    # the streaming kernel's double-buffered db scratch is
+    # 2*db_tile*feat bytes and must fit v5e's 16 MB scoped VMEM —
+    # db_tile 8192 allocates 18.9 MB and faults the compile, 4096 fits
+    # with room for the query tile (observed on chip, round 4)
+    db_tile_g = min(db_tile, 4096)
     db_feat = _gram_feats_on_device(jnp.asarray(db_pad), t=t)
     if q_codes is db_codes:
         # all-vs-all: plain gram one-hot of the same padded codes (padded
@@ -396,7 +458,7 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     else:
         counts = fetch(_stream_count(
             q_feat, db_feat, length=glen, editdist=p_edit,
-            q_tile=q_tile, db_tile=db_tile, interpret=interpret)[:nq, 0])
+            q_tile=q_tile, db_tile=db_tile_g, interpret=interpret)[:nq, 0])
     passed = counts <= 1
     k_eff = min(filter_k, nd)
 
@@ -478,7 +540,7 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
             q_dil = _gram_feats_on_device(jnp.asarray(rest_pad), t=t)
             counts2 = fetch(_stream_count(
                 q_dil, db_oh, length=glen, editdist=p_edit,
-                q_tile=min(q_tile, 256), db_tile=db_tile,
+                q_tile=min(q_tile, 256), db_tile=db_tile_g,
                 interpret=interpret)[:rest.size, 0])
             passed[rest[counts2 <= 1]] = True
             sel2 = np.flatnonzero(counts2 >= 2)

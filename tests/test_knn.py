@@ -88,6 +88,38 @@ def test_leven_block_vs_oracle(L):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("L", [5, 8, 20, 27])
+def test_leven_block_myers_vs_oracle(L):
+    """Bit-parallel Myers block == DP oracle, including near-identical
+    pairs (distances 0/1 exercise the horizontal carry chain)."""
+    from guidemaker_tpu.knn.leven import leven_block_myers
+    rng = np.random.default_rng(100 + L)
+    q = _random_seqs(rng, 12, L)
+    db = _random_seqs(rng, 17, L)
+    db[0] = q[0]                      # identical pair (dist 0)
+    db[1] = q[1][:-1] + ("A" if q[1][-1] != "A" else "C")   # 1 sub
+    qa = np.stack([dna.encode(s) for s in q])
+    da = np.stack([dna.encode(s) for s in db])
+    got = np.asarray(leven_block_myers(qa, da, length=L))
+    want = np.array([[_oracle_leven(a, b) for b in db] for a in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_leven_topk_engines_agree():
+    """leven_topk "myers" (default) and "dp" produce identical
+    (dist, idx) top-k including tie-breaks."""
+    from guidemaker_tpu.knn.leven import leven_topk
+    rng = np.random.default_rng(11)
+    q = _random_seqs(rng, 40, 20)
+    db = _random_seqs(rng, 300, 20)
+    qa = np.stack([dna.encode(s) for s in q])
+    da = np.stack([dna.encode(s) for s in db])
+    dm, im = leven_topk(qa, da, 4, db_tile=128, engine="myers")
+    dd, id_ = leven_topk(qa, da, 4, db_tile=128, engine="dp")
+    np.testing.assert_array_equal(dm, dd)
+    np.testing.assert_array_equal(im, id_)
+
+
 def test_leven_topk_vs_oracle():
     rng = np.random.default_rng(7)
     q = _random_seqs(rng, 40, 20)

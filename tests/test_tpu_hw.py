@@ -156,6 +156,10 @@ def test_leven_kernels_on_hw():
     seqs = _random_unique_seqs(600, seed=6)
     codes = dna.encode_batch(seqs, LENGTH).astype(np.uint8)
     d, i = leven_topk(codes[:40], codes, 3, db_tile=128)
+    # both block engines must agree on chip (myers is the default)
+    dd, ii = leven_topk(codes[:40], codes, 3, db_tile=128, engine="dp")
+    np.testing.assert_array_equal(d, dd)
+    np.testing.assert_array_equal(i, ii)
     for qi in range(40):
         dists = np.array([_oracle_leven(seqs[qi], s) for s in seqs])
         keys = dists.astype(np.int64) * len(seqs) + np.arange(len(seqs))
