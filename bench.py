@@ -203,15 +203,23 @@ def run_e2e(stages: dict, *, controls=1000, seed=42):
         dtype="hamming", dist=2, before=100, into=200, knum=3,
         controls=controls, threads=2, doench_efficiency_score=True,
         cfd_score=True, outdir=out, seed=seed)
+    from guidemaker_tpu.util import channel_wait_seconds
+    wait0 = channel_wait_seconds()
     t0 = time.time()
     res = run_pipeline(cfg)
     e2e = time.time() - t0
+    # transport tax: wall time the pipeline spent blocked on the
+    # tunnel's per-process d2h channel open (measured 1-330 s for
+    # identical runs; a local TPU pays microseconds) — charged to
+    # whichever stage fetches first, so it is reported separately
+    transport = channel_wait_seconds() - wait0
     timing_logger.removeHandler(grab)
-    log(f"  P. aeruginosa end-to-end: {e2e:.2f} s, "
+    log(f"  P. aeruginosa end-to-end: {e2e:.2f} s "
+        f"({transport:.2f} s of that blocked on the d2h channel open), "
         f"{len(res.targets)} guides, {cfg.controls} controls")
     for name, secs in stages.items():
         log(f"    {name:<16} {secs:8.3f} s")
-    return e2e, len(res.targets)
+    return e2e, len(res.targets), transport
 
 
 def cold_e2e_child():
@@ -228,10 +236,11 @@ def cold_e2e_child():
     _np.asarray(_jnp.zeros(8, _jnp.int32))
     first_d2h = time.time() - t0
     stages: dict = {}
-    t0 = time.time()
-    e2e, guides = run_e2e(stages)
+    e2e, guides, transport = run_e2e(stages)
     out = {"cold_e2e_seconds": round(e2e, 2),
            "cold_first_d2h_s": round(first_d2h, 2),
+           "cold_transport_wait_s": round(transport, 2),
+           "cold_e2e_compute_s": round(e2e - transport, 2),
            "cold_stages": {k: round(v, 2) for k, v in stages.items()},
            "cold_guides": guides}
     print(json.dumps(out), flush=True)
@@ -321,8 +330,10 @@ def main():
     if section("e2e", 120):
         stages: dict = {}
         try:
-            e2e_seconds, e2e_guides = run_e2e(stages)
+            e2e_seconds, e2e_guides, transport = run_e2e(stages)
             record["e2e_seconds"] = round(e2e_seconds, 2)
+            record["e2e_transport_wait_s"] = round(transport, 2)
+            record["e2e_compute_s"] = round(e2e_seconds - transport, 2)
             record["e2e_guides"] = e2e_guides
             record["e2e_stages"] = {k: round(v, 2) for k, v in stages.items()}
             record["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_seconds, 2)
@@ -449,6 +460,9 @@ def main():
             if cold:
                 record["e2e_cold_seconds"] = cold["cold_e2e_seconds"]
                 record["e2e_cold_first_d2h_s"] = cold["cold_first_d2h_s"]
+                record["e2e_cold_transport_wait_s"] = cold.get(
+                    "cold_transport_wait_s")
+                record["e2e_cold_compute_s"] = cold.get("cold_e2e_compute_s")
                 record["e2e_cold_stages"] = cold["cold_stages"]
                 record["e2e_cold_process_wall_s"] = round(wall, 2)
                 log(f"  cold e2e: {cold['cold_e2e_seconds']} s pipeline "

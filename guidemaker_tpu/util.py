@@ -90,6 +90,22 @@ def _start_d2h_keepalive(period_s: float = 20.0) -> None:
                          daemon=True).start()
 
 
+_channel_wait_total = 0.0
+
+
+def channel_wait_seconds() -> float:
+    """Total wall time :func:`fetch` callers spent BLOCKED on the relay
+    channel open so far in this process.
+
+    On the tunneled backend the per-process device→host channel open is
+    wildly variable (measured 1–330 s for identical runs); a local TPU
+    pays microseconds.  This counter separates that transport tax from
+    pipeline compute: ``e2e_wall - channel_wait`` is the
+    environment-independent pipeline time.
+    """
+    return _channel_wait_total
+
+
 def fetch(device_array):
     """Device→host transfer that never runs on a cold relay channel.
 
@@ -98,8 +114,11 @@ def fetch(device_array):
     blocks on the channel warmup, and the actual transfer runs at full
     (warm) bandwidth.
     """
+    global _channel_wait_total
     import numpy as np
+    t0 = time.time()
     warm_d2h_channel(wait=True)
+    _channel_wait_total += time.time() - t0
     return np.asarray(device_array)
 
 
