@@ -316,6 +316,73 @@ def _gram_feats_on_device(codes, *, t):
     return flat
 
 
+def _del_variants_packed(codes: np.ndarray) -> np.ndarray:
+    """(n, L) uint8 codes -> (n, L) int64: variant ``d`` is the string
+    with position ``d`` deleted, packed 2 bits/char (requires codes < 4
+    and L <= 31, both guaranteed for guide targets)."""
+    n, L = codes.shape
+    c = codes.astype(np.int64)
+    w = np.int64(1) << (2 * np.arange(L, dtype=np.int64))
+    pref = np.zeros((n, L + 1), np.int64)
+    np.cumsum(c * w, axis=1, out=pref[:, 1:])
+    full = pref[:, L:L + 1]
+    # V[:, d] = (chars before d at their weights) + (chars after d
+    # shifted down one position, i.e. divided by 4 — exact: each term
+    # has weight 4^k with k >= d+1 >= 1)
+    return pref[:, :L] + ((full - pref[:, 1:]) >> 2)
+
+
+def _delset_partner_mask(codes: np.ndarray) -> np.ndarray:
+    """(n,) bool — does guide ``i`` share a deletion variant with ANY
+    other guide?  (SymSpell-style deletion neighborhood: for
+    equal-length strings this is exactly the one-deletion-one-insertion
+    case of leven <= 2.)
+
+    Sort-based, no hashing: pack each of the n*L length-(L-1) variants
+    into an int64, sort once, and mark every variant run that contains
+    >= 2 distinct owners.  ~10 s for 1.16M 20-mers (23M keys).
+    """
+    n, L = codes.shape
+    V = _del_variants_packed(codes).ravel()
+    owners = np.repeat(np.arange(n, dtype=np.int64), L)
+    ob = max(int(n - 1).bit_length(), 1)
+    if 2 * (L - 1) + ob <= 63:
+        # composite (variant, owner) key: one flat int64 sort
+        keys = (V << ob) | owners
+        keys.sort()
+        v_s = keys >> ob
+        own_s = keys & ((np.int64(1) << ob) - 1)
+    else:
+        order = np.argsort(V, kind="stable")
+        v_s, own_s = V[order], owners[order]
+    new_run = np.empty(v_s.size, dtype=bool)
+    new_run[0] = True
+    np.not_equal(v_s[1:], v_s[:-1], out=new_run[1:])
+    starts = np.flatnonzero(new_run)
+    run_multi = (np.minimum.reduceat(own_s, starts)
+                 != np.maximum.reduceat(own_s, starts))
+    lengths = np.diff(np.append(starts, v_s.size))
+    partner = np.zeros(n, dtype=bool)
+    partner[own_s[np.repeat(run_multi, lengths)]] = True
+    return partner
+
+
+def _match_rows(q_codes: np.ndarray, db_codes: np.ndarray) -> np.ndarray:
+    """Row index in ``db_codes`` of each ``q_codes`` row (2-bit packed
+    exact match; rows absent from the db map to row 0 — callers hold the
+    driver precondition that every query is a db member)."""
+    L = q_codes.shape[1]
+    w = np.int64(1) << (2 * np.arange(L, dtype=np.int64))
+    dbp = db_codes.astype(np.int64) @ w
+    qp = q_codes.astype(np.int64) @ w
+    order = np.argsort(dbp, kind="stable")
+    pos = np.searchsorted(dbp[order], qp)
+    pos = np.clip(pos, 0, dbp.size - 1)
+    idx = order[pos]
+    idx[dbp[idx] != qp] = 0
+    return idx
+
+
 _BIG = np.int32(1 << 20)
 
 
@@ -422,7 +489,42 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
                 q_tile=q_tile, db_tile=db_tile,
                 interpret=interpret)[:nq, 0])
         return counts <= 1
-    # e >= 3: positional q-gram filter (see _gram_feats_on_device).  A
+    if e == 3 and length <= 31:
+        # Exact decomposition for leven <= 2 between EQUAL-LENGTH
+        # strings: every cost-<=2 script is either <=2 substitutions
+        # (hamming <= 2) or one deletion + one insertion — and the
+        # latter holds iff the two strings share a length-(L-1)
+        # deletion variant (delete one char from each side and the
+        # remainders are equal).  So retention is one plain Hamming
+        # counting pass (editdist=3, MXU) OR-ed with a host-side
+        # deletion-set intersection over the packed variants (SymSpell-
+        # style: sort nd*L int64 keys, mark every variant run owned by
+        # >= 2 distinct guides) — ~10 s at 1.16M guides where the
+        # gram-filter tier cascade never completed (its ambiguous set
+        # is the majority of a PAM-dense genome's shift siblings).
+        db_feat = _onehot_on_device(jnp.asarray(db_pad))
+        if q_codes is db_codes:
+            q_feat = db_feat
+        else:
+            q_feat = _onehot_on_device(jnp.asarray(
+                _pad_code_rows(q_codes, bucket_rows(nq, q_tile))))
+        if mesh is not None:
+            from .sharded import sharded_hamming_count
+            counts = sharded_hamming_count(
+                np.asarray(q_feat)[:nq], np.asarray(db_feat),
+                editdist=3, length=length, mesh=mesh)[:nq]
+        else:
+            counts = fetch(_stream_count(
+                q_feat, db_feat, length=length, editdist=3,
+                q_tile=q_tile, db_tile=db_tile,
+                interpret=interpret)[:nq, 0])
+        partner = _delset_partner_mask(db_codes)
+        if q_codes is db_codes:
+            q_partner = partner
+        else:
+            q_partner = partner[_match_rows(q_codes, db_codes)]
+        return (counts <= 1) & ~q_partner
+    # e >= 4: positional q-gram filter (see _gram_feats_on_device).  A
     # pair is a candidate iff >= (glen - t*q) of the query's 3-grams
     # appear in the database guide within +-t gram positions, i.e. the
     # counting kernel's pseudo-dist (glen - dot) is < t*q + 1.

@@ -285,10 +285,31 @@ def test_leven_pass_filter_vs_bruteforce():
     codes = np.stack([dna.encode(s) for s in seqs]).astype(np.uint8)
     dm = np.array([[_oracle_leven(a, b) for b in seqs] for a in seqs])
     np.fill_diagonal(dm, 10 ** 6)
-    for e in (2, 3):
+    # e=2: hamming shortcut; e=3: delset decomposition; e=4: gram tiers
+    for e in (2, 3, 4):
         got = leven_pass_filter(codes, codes, e)
         want = dm.min(axis=1) >= e
         np.testing.assert_array_equal(got, want)
+
+
+def test_delset_partner_mask_vs_bruteforce():
+    """Deletion-set intersection (the ins+del half of the e=3 retention
+    decomposition) against a brute-force variant-set oracle."""
+    from guidemaker_tpu.knn.leven import _delset_partner_mask
+    rng = np.random.default_rng(31)
+    L = 9
+    base = rng.integers(0, 4, (80, L)).astype(np.uint8)
+    shifted = [np.concatenate([r[1:], rng.integers(0, 4, 1).astype(np.uint8)])
+               for r in base[:15]]          # del+ins partners by construction
+    codes = np.unique(np.concatenate([base, np.array(shifted)]), axis=0)
+    n = codes.shape[0]
+    got = _delset_partner_mask(codes)
+    variant_sets = [{tuple(np.delete(codes[i], d)) for d in range(L)}
+                    for i in range(n)]
+    want = np.array([any(i != j and variant_sets[i] & variant_sets[j]
+                         for j in range(n)) for i in range(n)])
+    np.testing.assert_array_equal(got, want)
+    assert got.any() and not got.all()      # fixture covers both outcomes
 
 
 def test_leven_pass_filter_overflow_tier():
@@ -328,7 +349,7 @@ def test_leven_pass_filter_repeat_clusters_all_tiers():
     codes = np.stack([dna.encode(s) for s in seqs]).astype(np.uint8)
     dm = np.array([[_oracle_leven(a, b) for b in seqs] for a in seqs])
     np.fill_diagonal(dm, 10 ** 6)
-    for e in (2, 3):
+    for e in (2, 3, 4):   # e=4 at L=12 exercises the degenerate full-DP path
         got = leven_pass_filter(codes, codes, e, filter_k=2)
         np.testing.assert_array_equal(got, dm.min(axis=1) >= e)
 
