@@ -24,14 +24,16 @@ timeout, BENCH_r03.json rc=124/parsed=null):
   external `timeout` kill leaves the record on stdout;
 * every section has a remaining-time gate; sections that do not fit are
   recorded as skipped (with the reason) instead of silently missing;
-* the one section with unbounded compile risk (leven e=3's tiered gram
-  filter, the section that ate round 3) runs LAST.
+* the riskiest section (cold-start e2e: a fresh subprocess that may hit
+  the tunnel's 1-330 s channel-open lottery) runs LAST under its own
+  subprocess timeout.
 
 Sections, in order: transport probe, retention headline, 131k top-k,
 full-pipeline e2e (warm, with stage table), leven e=2 retention, leven
-survivor list phase, C. ruddii k=3 (direct HNSW-baseline comparison),
-hardware test tier (`pytest -m tpu` in-process), cold-start e2e (fresh
-subprocess, empty JAX cache), leven e=3.
+e=3 retention (hamming counting + deletion-set join), leven survivor
+list phase (bit-parallel Myers), C. ruddii k=3 (direct HNSW-baseline
+comparison), hardware test tier (`pytest -m tpu` in-process),
+cold-start e2e (fresh subprocess, empty JAX cache).
 """
 import json
 import os
@@ -361,6 +363,28 @@ def main():
             log(f"  leven e2 failed: {e!r}")
         emit()
 
+    # --- leven e=3 retention: hamming counting + deletion-set join
+    # (exact decomposition; round 3's gram-tier cascade never completed
+    # at genome scale) ---
+    if pa_codes is not None and section("leven_e3", 60):
+        try:
+            from guidemaker_tpu.knn.leven import leven_pass_filter
+            pairs = pa_codes.shape[0] ** 2
+            t0 = time.time()
+            p3 = leven_pass_filter(pa_codes, pa_codes, 3)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            leven_pass_filter(pa_codes, pa_codes, 3)
+            tl3 = time.time() - t0
+            record["leven_e3_retention_pairs_per_s"] = round(pairs / tl3)
+            record["leven_e3_seconds"] = round(tl3, 2)
+            log(f"  P. aeruginosa LEVEN retention e=3: {tl3:.2f} s steady "
+                f"({compile_s:.1f}s first call), {pairs/tl3/1e12:.2f} T "
+                f"pairs/s, {int(p3.sum())} retained")
+        except Exception as e:
+            log(f"  leven e3 failed: {e!r}")
+        emit()
+
     # --- Levenshtein survivor list phase (the post-annotation neighbor
     # lists for --dtype leven; VERDICT r3 weak #5) ---
     if pa_codes is not None and section("leven_lists", 75):
@@ -475,27 +499,6 @@ def main():
         except subprocess.TimeoutExpired:
             record["e2e_cold_error"] = f"timeout after {child_budget:.0f}s"
             log(f"  cold e2e child timed out after {child_budget:.0f}s")
-        emit()
-
-    # --- leven e=3 (tiered gram filter) — LAST: unbounded compile risk
-    # (this section's first-call compile ate round 3's whole window) ---
-    if pa_codes is not None and section("leven_e3", 110):
-        try:
-            from guidemaker_tpu.knn.leven import leven_pass_filter
-            pairs = pa_codes.shape[0] ** 2
-            t0 = time.time()
-            p3 = leven_pass_filter(pa_codes, pa_codes, 3)
-            compile_s = time.time() - t0
-            t0 = time.time()
-            leven_pass_filter(pa_codes, pa_codes, 3)
-            tl3 = time.time() - t0
-            record["leven_e3_retention_pairs_per_s"] = round(pairs / tl3)
-            record["leven_e3_seconds"] = round(tl3, 2)
-            log(f"  P. aeruginosa LEVEN retention e=3: {tl3:.2f} s steady "
-                f"({compile_s:.1f}s first call), {pairs/tl3/1e12:.2f} T "
-                f"pairs/s, {int(p3.sum())} retained")
-        except Exception as e:
-            log(f"  leven e3 failed: {e!r}")
         emit()
 
     if not on_tpu:

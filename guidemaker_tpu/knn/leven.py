@@ -211,7 +211,13 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
 #   hamming < 2 and retention IS the plain int8 Hamming counting pass —
 #   the same hardware-proven program, same 1.25 T pairs/s.
 #
-# * e >= 3: the positional q-gram lemma.  If leven(a, b) <= t (t = e-1),
+# * e == 3: exact decomposition — every equal-length cost-<=2 script is
+#   either <=2 substitutions (hamming <= 2: one MXU counting pass) or one
+#   deletion + one insertion, which holds iff the two strings share a
+#   length-(L-1) deletion variant (SymSpell-style sorted int64 join on
+#   the host; see _delset_partner_mask).  No DP, no filter tiers.
+#
+# * e >= 4: the positional q-gram lemma.  If leven(a, b) <= t (t = e-1),
 #   at most t*q of a's (L-q+1) q-grams overlap an edit, and every
 #   surviving gram appears in b within +-t gram positions (the alignment
 #   never leaves the +-t diagonal band).  With q = 3 the gram one-hot is
@@ -430,10 +436,12 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     (deduplicated database, every query a member).
 
     e == 2 is decided by one plain Hamming counting pass (exact: a single
-    length-preserving edit must be a substitution).  e >= 3 runs the
-    tiered positional 3-gram filter — MXU gram counting, banded-DP
-    verification of candidate lists, second-direction gram prune, exact
-    chunked full-DP residue (see the design block above).  All feature
+    length-preserving edit must be a substitution).  e == 3 is decided
+    exactly by hamming<=2 counting OR a deletion-variant join (see the
+    design block above).  e >= 4 runs the tiered positional 3-gram
+    filter — MXU gram counting, banded-DP verification of candidate
+    lists, second-direction gram prune, exact chunked full-DP residue.
+    All feature
     matrices are built on device from 2-bit codes, and every counting /
     top-k / DP dispatch is chunked and pow2-bucketed.
 
