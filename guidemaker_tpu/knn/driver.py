@@ -384,6 +384,56 @@ class KnnIndex:
                             db_tile=self._db_tile, q_tile=q_tile)
         return fetch(counts)[:nq]
 
+    def pass_mask_within(self, codes, editdist: int,
+                         chunk: int = 1 << 21):
+        """(nq,) uint8 host mask — 1 iff NO database entry lies at
+        Hamming distance < ``editdist`` from the candidate (the control
+        ladder's triage decision), or None when unsupported.
+
+        Transfer-minimal variant of :meth:`count_within` for tunneled
+        backends where every device→host round trip costs a ~2 s RTT:
+        all ``chunk``-row dispatches stay on device, the counts reduce
+        to a uint8 mask on device, everything concatenates on device,
+        and ONE fetch moves nq bytes (the int32-counts path moved 4×
+        the bytes in one fetch PER chunk — measured 22 s of a 24 s
+        control search on the 10M-candidate rung).
+        """
+        if (self.backend != "pallas" or _use_packed(self.length)
+                or editdist > self.length):
+            counts = self.count_within(codes, editdist)
+            return None if counts is None else \
+                (counts == 0).astype(np.uint8)
+        import jax
+        import jax.numpy as jnp
+        from ..util import fetch, warm_d2h_channel
+        from . import pallas_hamming as ph
+        from .pallas_stream import _stream_count
+        warm_d2h_channel(wait=True)
+        nd = len(self.seqs)
+        if self._db_dev is None:
+            self._db_tile = min(
+                8192, max(128, 1 << int(nd - 1).bit_length()))
+            self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+        interpret = jax.default_backend() != "tpu"
+        nq = int(codes.shape[0])
+        masks = []
+        for lo in range(0, nq, chunk):
+            part = codes[lo:lo + chunk]
+            m = int(part.shape[0])
+            q_tile, _ = ph.clamp_tiles(
+                min(1024, max(8, 1 << (m - 1).bit_length())), self._db_tile)
+            dev = part if isinstance(part, jnp.ndarray) else jnp.asarray(part)
+            pad = (-m) % q_tile
+            if pad:  # pad rows on device with INVALID=4 (one-hots to zero)
+                dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
+            counts = _stream_count(
+                ph._onehot_on_device(dev), self._db_dev,
+                length=self.length, editdist=editdist,
+                q_tile=q_tile, db_tile=self._db_tile, interpret=interpret)
+            masks.append((counts[:m, 0] == 0).astype(jnp.uint8))
+        out = masks[0] if len(masks) == 1 else jnp.concatenate(masks)
+        return fetch(out)
+
     def neighbor_seqs(self, idx_row: np.ndarray) -> List[str]:
         """Map database indices to sequences (fixes the reference's
         set-ordering index bug, core.py:446 vs core.py:513)."""

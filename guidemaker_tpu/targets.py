@@ -376,27 +376,19 @@ class TargetProcessor:
         # ~10 s of queue head-of-line; ~2 s chunks bound that wait
         chunk = 1 << 21
 
-        def _count_rung(codes_dev, m):
-            if m <= chunk:
-                return self.index.count_within(codes_dev,
-                                               minimum_hmdist_target)
-            parts = []
-            for lo in range(0, m, chunk):
-                part = self.index.count_within(
-                    codes_dev[lo:lo + chunk], minimum_hmdist_target)
-                if part is None:
-                    return None
-                parts.append(part)
-            return np.concatenate(parts)
-
         search_mult = 0
         for rung, search_mult in enumerate(multiples):
             m = n * search_mult
             codes_dev = sample_codes(jax.random.fold_in(key, rung), cum,
                                      m=m, length=length)
-            counts = _count_rung(codes_dev, m)
-            if counts is not None:
-                passers = np.flatnonzero(counts == 0)
+            # triage transfer: one uint8/candidate in a single fetch —
+            # all chunk dispatches are async, so the tunnel RTT is paid
+            # once per rung, not once per 2M-candidate chunk
+            pm = self.index.pass_mask_within(codes_dev,
+                                             minimum_hmdist_target,
+                                             chunk=chunk)
+            if pm is not None:
+                passers = np.flatnonzero(pm)
                 if passers.size < n:
                     continue          # rung failed; escalate
                 pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
