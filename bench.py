@@ -55,7 +55,7 @@ BASELINE_HNSW_PAIRS = 3814 * 3814       # same-workload pair count
 BASELINE_PAIRS_PER_S = BASELINE_HNSW_PAIRS / BASELINE_HNSW_TUNED_S
 BASELINE_E2E_S = 90.0                   # reference README.md:15: ~1-2 min
 
-BUDGET_S = float(os.environ.get("GUIDEMAKER_BENCH_BUDGET_S", "520"))
+BUDGET_S = float(os.environ.get("GUIDEMAKER_BENCH_BUDGET_S", "560"))
 T0 = time.time()
 
 record: dict = {}
@@ -72,6 +72,13 @@ def remaining():
 
 def emit():
     """Print the cumulative record as one JSON line (last line wins)."""
+    try:
+        from guidemaker_tpu.util import channel_open_seconds
+        opened = channel_open_seconds()
+        if opened is not None:
+            record["transport_first_d2h_s"] = round(opened, 2)
+    except Exception:
+        pass
     out = dict(record)
     if "metric" not in out:
         # headline not yet measured: still emit something parseable
@@ -263,17 +270,14 @@ def main():
         f"budget {BUDGET_S:.0f}s")
     record["device"] = f"{dev.platform} {getattr(dev, 'device_kind', '')}"
 
-    # --- transport probe: time the first device->host transfer (the
-    # tunnel's relay-channel open; a local TPU pays microseconds here).
-    # This is the bench environment's transport tax, reported separately
-    # from pipeline compute. ---
-    import jax.numpy as jnp
-    t0 = time.time()
-    np.asarray(jnp.zeros(8, jnp.int32))
-    record["transport_first_d2h_s"] = round(time.time() - t0, 2)
-    from guidemaker_tpu.util import _start_d2h_keepalive
-    _start_d2h_keepalive()
-    log(f"  first d2h (channel open): {record['transport_first_d2h_s']} s")
+    # --- transport probe: start the d2h channel open in the background
+    # and MEASURE it without blocking (observed 1.3-330 s across
+    # identical runs; a local TPU pays microseconds). Sections overlap
+    # their host work (genome parse, compiles) with the open; the first
+    # kernel fetch blocks on whatever remains, and the measured open
+    # duration lands in the record at the next emit. ---
+    from guidemaker_tpu.util import warm_d2h_channel
+    warm_d2h_channel()
 
     # --- headline: P. aeruginosa genome-wide retention (6.3 Mb) ---
     if section("retention", 60):
@@ -460,7 +464,7 @@ def main():
         emit()
 
     # --- cold-start e2e: fresh process, empty JAX compilation cache ---
-    if section("cold_e2e", 150):
+    if section("cold_e2e", 130):
         cache = tempfile.mkdtemp(prefix="gm_cold_jax_cache_")
         env = dict(os.environ)
         env["JAX_COMPILATION_CACHE_DIR"] = cache

@@ -36,10 +36,13 @@ def warm_d2h_channel(wait: bool = False) -> None:
     with _warm_lock:
         if _warm_thread is None:
             def _warm():
+                global _channel_open_duration
+                t0 = time.time()
                 try:
                     import jax.numpy as jnp
                     import numpy as np
                     np.asarray(jnp.zeros(8, jnp.int32))
+                    _channel_open_duration = time.time() - t0
                 except Exception:  # no device / init failure: nothing to warm
                     pass
             _warm_thread = threading.Thread(
@@ -49,6 +52,16 @@ def warm_d2h_channel(wait: bool = False) -> None:
     if wait:
         th.join()
         _start_d2h_keepalive()
+
+
+_channel_open_duration = None
+
+
+def channel_open_seconds():
+    """Duration of the one-time d2h channel open measured by the warmup
+    thread (None until it completes) — the transport-tax figure reported
+    by bench.py without blocking the caller on the open itself."""
+    return _channel_open_duration
 
 
 _keepalive_started = False
