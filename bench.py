@@ -263,7 +263,16 @@ def main():
     signal.signal(signal.SIGTERM, _die)
     signal.signal(signal.SIGALRM, _die)
     signal.alarm(max(int(BUDGET_S), 30))
+    try:
+        _main_body()
+    finally:
+        # ANY exit path — including an unhandled exception in a section
+        # that predates the first successful emit — leaves a parseable
+        # record on stdout (the round-3 failure mode)
+        emit()
 
+
+def _main_body():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')} "
@@ -280,43 +289,52 @@ def main():
     warm_d2h_channel()
 
     # --- headline: P. aeruginosa genome-wide retention (6.3 Mb) ---
+    pa_codes = None
     if section("retention", 60):
-        from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
-        from guidemaker_tpu.knn.pallas_stream import (stream_count_device,
-                                                      stream_topk_device)
-        pa = os.path.join(REPO, "guidemaker_tpu", "data",
-                          "Pseudomonas_aeruginosa.gbk.gz")
-        pa_codes, n2, bp2 = load_targets(pa)
-        db_tile = 8192
-        dbb = prepare_db_codes(pa_codes, db_tile)
-        args = dict(db_tile=db_tile, q_tile=1024, q_dev=dbb,
-                    nq=int(dbb.shape[0]))
-        t0 = time.time()
-        counts = stream_count_device(None, dbb, n2, 2, 20, **args)
-        compile_s = time.time() - t0
-        retained = int((counts[:n2] <= 1).sum())
-        times = []
-        for _ in range(3):
+        try:
+            from guidemaker_tpu.knn.pallas_hamming import prepare_db_codes
+            from guidemaker_tpu.knn.pallas_stream import (stream_count_device,
+                                                          stream_topk_device)
+            pa = os.path.join(REPO, "guidemaker_tpu", "data",
+                              "Pseudomonas_aeruginosa.gbk.gz")
+            pa_codes, n2, bp2 = load_targets(pa)
+            db_tile = 8192
+            dbb = prepare_db_codes(pa_codes, db_tile)
+            args = dict(db_tile=db_tile, q_tile=1024, q_dev=dbb,
+                        nq=int(dbb.shape[0]))
             t0 = time.time()
-            stream_count_device(None, dbb, n2, 2, 20, **args)
-            times.append(time.time() - t0)
-        tc = min(times)
-        pairs = n2 * n2
-        rate = pairs / tc
-        record.update(
-            metric="pa_genomewide_retention_pairs_per_s",
-            value=round(rate, 0), unit="pairs/s",
-            vs_baseline=round(rate / BASELINE_PAIRS_PER_S, 2),
-            retention_seconds=round(tc, 3),
-            retention_compile_s=round(compile_s, 1),
-            retention_guides=retained)
-        log(f"  P. aeruginosa retention (all-vs-all, {pairs:.3g} pairs): "
-            f"{tc:.2f} s steady ({compile_s:.1f}s first call), "
-            f"{rate/1e12:.2f} T pairs/s, {retained} guides retained")
+            counts = stream_count_device(None, dbb, n2, 2, 20, **args)
+            compile_s = time.time() - t0
+            retained = int((counts[:n2] <= 1).sum())
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                stream_count_device(None, dbb, n2, 2, 20, **args)
+                times.append(time.time() - t0)
+            tc = min(times)
+            pairs = n2 * n2
+            rate = pairs / tc
+            record.update(
+                metric="pa_genomewide_retention_pairs_per_s",
+                value=round(rate, 0), unit="pairs/s",
+                vs_baseline=round(rate / BASELINE_PAIRS_PER_S, 2),
+                retention_seconds=round(tc, 3),
+                retention_compile_s=round(compile_s, 1),
+                retention_guides=retained)
+            log(f"  P. aeruginosa retention (all-vs-all, {pairs:.3g} pairs): "
+                f"{tc:.2f} s steady ({compile_s:.1f}s first call), "
+                f"{rate/1e12:.2f} T pairs/s, {retained} guides retained")
+        except Exception as e:  # headline failure must still leave a record
+            log(f"  retention failed: {e!r}")
+            record["retention_error"] = repr(e)[:200]
+            pa_codes = None
         emit()
 
-        # post-annotation top-k pass (the other genome-scale kernel)
-        if section("topk131k", 30):
+    # post-annotation top-k pass (the other genome-scale kernel)
+    if pa_codes is None:
+        _skipped.setdefault("topk131k", "retention prerequisites missing")
+    elif section("topk131k", 30):
+        try:
             nsub = 131072
             stream_topk_device(pa_codes[:nsub], dbb, n2, 3, 20,
                                db_tile=db_tile, q_tile=256)  # compile+run
@@ -328,9 +346,9 @@ def main():
             record["topk_pairs_per_s"] = round(nsub * n2 / tk)
             log(f"  P. aeruginosa top-3 for {nsub} retained guides: "
                 f"{tk:.2f} s e2e, {nsub*n2/tk/1e12:.2f} T pairs/s")
-            emit()
-    else:
-        pa_codes = None
+        except Exception as e:
+            log(f"  topk131k failed: {e!r}")
+        emit()
 
     # --- full pipeline end-to-end (the reference's 1-2 min workload) ---
     if section("e2e", 120):
@@ -349,7 +367,9 @@ def main():
         emit()
 
     # --- Levenshtein e=2 retention (rides the Hamming counting kernel) ---
-    if pa_codes is not None and section("leven_e2", 40):
+    if pa_codes is None:
+        _skipped.setdefault("leven_e2", "retention prerequisites missing")
+    elif section("leven_e2", 40):
         try:
             from guidemaker_tpu.knn.leven import leven_pass_filter
             t0 = time.time()
@@ -370,7 +390,9 @@ def main():
     # --- leven e=3 retention: hamming counting + deletion-set join
     # (exact decomposition; round 3's gram-tier cascade never completed
     # at genome scale) ---
-    if pa_codes is not None and section("leven_e3", 60):
+    if pa_codes is None:
+        _skipped.setdefault("leven_e3", "retention prerequisites missing")
+    elif section("leven_e3", 60):
         try:
             from guidemaker_tpu.knn.leven import leven_pass_filter
             pairs = pa_codes.shape[0] ** 2
@@ -391,7 +413,9 @@ def main():
 
     # --- Levenshtein survivor list phase (the post-annotation neighbor
     # lists for --dtype leven; VERDICT r3 weak #5) ---
-    if pa_codes is not None and section("leven_lists", 75):
+    if pa_codes is None:
+        _skipped.setdefault("leven_lists", "retention prerequisites missing")
+    elif section("leven_lists", 75):
         try:
             from guidemaker_tpu.knn import leven as lv
             nsub = 131072

@@ -79,6 +79,13 @@ class KnnIndex:
         self._db_packed_tile = None
         self._mesh = None     # device mesh (sharded backend, lazy)
         self._seqset = None   # frozenset(self.seqs), built on first use
+        # one lock for every lazy device-database init: the pipeline's
+        # background control search calls into the index concurrently
+        # with the main thread (pipeline.py launches it right after
+        # create_index), and a torn _db_dev/_db_tile init can hand a
+        # kernel a tile size inconsistent with the padded database
+        import threading
+        self._lazy_lock = threading.Lock()
 
     def _counting_filter_valid(self, seqs: Sequence[str]) -> bool:
         """True iff the counting retention shortcut is exact for these
@@ -98,23 +105,54 @@ class KnnIndex:
         """Device-resident packed-pair database (pallas_packed.py), built
         once and reused by every streaming query/filter/count call."""
         if self._db_packed is None:
-            from .pallas_packed import prepare_db_packed
-            n2 = -(-len(self.seqs) // 2)
-            self._db_packed_tile = min(
-                4096, max(128, 1 << int(max(n2, 2) - 1).bit_length()))
-            self._db_packed = prepare_db_packed(self._codes,
-                                                self._db_packed_tile)
+            with self._lazy_lock:
+                if self._db_packed is None:
+                    from .pallas_packed import prepare_db_packed
+                    n2 = -(-len(self.seqs) // 2)
+                    tile = min(
+                        4096, max(128, 1 << int(max(n2, 2) - 1).bit_length()))
+                    self._db_packed_tile = tile
+                    self._db_packed = prepare_db_packed(self._codes, tile)
 
     def _sharded_db(self):
         """Device-resident sharded database (built once, reused by every
         query/filter call — the database never re-crosses the host link)."""
         if self._db_dev is None or not hasattr(self._db_dev, "db_oh"):
-            from ..distributed import auto_mesh
-            from .sharded import prepare_db_sharded
-            if self._mesh is None:
-                self._mesh = auto_mesh()
-            self._db_dev = prepare_db_sharded(self._codes, self._mesh)
+            with self._lazy_lock:
+                if self._db_dev is None or not hasattr(self._db_dev, "db_oh"):
+                    from ..distributed import auto_mesh
+                    from .sharded import prepare_db_sharded
+                    if self._mesh is None:
+                        self._mesh = auto_mesh()
+                    self._db_dev = prepare_db_sharded(self._codes, self._mesh)
         return self._db_dev
+
+    def _ensure_pallas_db(self, want: int):
+        """Device-resident 2-bit code database for the pallas kernels
+        (thread-safe, first caller's tile wins).  Returns (db_dev, tile)."""
+        if self._db_dev is None:
+            with self._lazy_lock:
+                if self._db_dev is None:
+                    from . import pallas_hamming as ph
+                    nd = len(self.seqs)
+                    tile = min(want, max(128, 1 << int(nd - 1).bit_length()))
+                    dev = ph.prepare_db_codes(self._codes, tile)
+                    self._db_tile = tile   # publish tile BEFORE db_dev:
+                    self._db_dev = dev     # readers check db_dev first
+        return self._db_dev, self._db_tile
+
+    def _ensure_xla_db(self, want: int):
+        """Device-resident bf16 one-hot database for the xla backend
+        (thread-safe).  Returns (db_dev, tile)."""
+        if self._db_dev is None:
+            with self._lazy_lock:
+                if self._db_dev is None:
+                    from .hamming import fit_tile, prepare_db
+                    tile = fit_tile(want, len(self.seqs))
+                    dev = prepare_db(self._onehot, tile)
+                    self._db_tile = tile
+                    self._db_dev = dev
+        return self._db_dev, self._db_tile
 
     @property
     def _onehot(self) -> np.ndarray:
@@ -163,13 +201,16 @@ class KnnIndex:
                     self._mesh = auto_mesh()
                 return sharded_leven_topk(qc, self._codes, k, mesh=self._mesh)
             if getattr(self, "_leven_db", None) is None:
-                import jax.numpy as jnp
-                from .hamming import _pad_rows
-                nd = len(self.seqs)
-                self._leven_tile = min(1024, max(128,
-                                                 1 << int(nd - 1).bit_length()))
-                self._leven_db = jnp.asarray(
-                    _pad_rows(self._codes, self._leven_tile))
+                with self._lazy_lock:
+                    if getattr(self, "_leven_db", None) is None:
+                        import jax.numpy as jnp
+                        from .hamming import _pad_rows
+                        nd = len(self.seqs)
+                        tile = min(1024, max(
+                            128, 1 << int(nd - 1).bit_length()))
+                        self._leven_tile = tile
+                        self._leven_db = jnp.asarray(
+                            _pad_rows(self._codes, tile))
             return leven_topk(qc, self._codes, k, db_tile=self._leven_tile,
                               db_dev=self._leven_db)
         if self.backend == "native":
@@ -192,29 +233,24 @@ class KnnIndex:
                                           self.length,
                                           db_tile=self._db_packed_tile,
                                           q_tile=256)
-            if self._db_dev is None:
-                # wide db tiles amortize the merge passes in the streaming
-                # kernel (swept on v5e: q256/d8192 = 0.24 T pairs/s)
-                want = 8192 if stream else 1024
-                self._db_tile = min(want, max(128, 1 << int(nd - 1).bit_length()))
-                self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            # wide db tiles amortize the merge passes in the streaming
+            # kernel (swept on v5e: q256/d8192 = 0.24 T pairs/s)
+            db_dev, db_tile = self._ensure_pallas_db(8192 if stream else 1024)
             if stream:
                 # large databases: stream db tiles inside the kernel
                 # (per-grid-step overhead would dominate the 2-D grid)
                 from .pallas_stream import stream_topk_device
-                return stream_topk_device(qc, self._db_dev, nd, k,
+                return stream_topk_device(qc, db_dev, nd, k,
                                           self.length,
-                                          db_tile=self._db_tile, q_tile=256)
-            return ph.pallas_topk_device(None, self._db_dev, nd, k,
-                                         self.length, db_tile=self._db_tile,
+                                          db_tile=db_tile, q_tile=256)
+            return ph.pallas_topk_device(None, db_dev, nd, k,
+                                         self.length, db_tile=db_tile,
                                          q_codes=qc)
         q_oh = dna.one_hot_matrix(qc, dtype=np.float32)
-        from .hamming import fit_tile, hamming_topk_device, prepare_db
-        if self._db_dev is None:
-            self._db_tile = fit_tile(8192, nd)
-            self._db_dev = prepare_db(self._onehot, self._db_tile)
-        return hamming_topk_device(q_oh, self._db_dev, nd, k, self.length,
-                                   db_tile=self._db_tile)
+        from .hamming import hamming_topk_device
+        db_dev, db_tile = self._ensure_xla_db(8192)
+        return hamming_topk_device(q_oh, db_dev, nd, k, self.length,
+                                   db_tile=db_tile)
 
     def pass_distance_filter(self, seqs: Sequence[str],
                              editdist: int) -> np.ndarray:
@@ -353,25 +389,20 @@ class KnnIndex:
                     db_tile=self._db_packed_tile, q_tile=q_tile,
                     q_dev=q_dev, nq=nq)
             from .pallas_stream import stream_count_device
-            if self._db_dev is None:
-                self._db_tile = min(
-                    8192, max(128, 1 << int(nd - 1).bit_length()))
-                self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            db_dev, db_tile = self._ensure_pallas_db(8192)
             q_tile, _ = ph.clamp_tiles(
-                min(1024, max(8, 1 << (nq - 1).bit_length())), self._db_tile)
+                min(1024, max(8, 1 << (nq - 1).bit_length())), db_tile)
             dev = jnp.asarray(codes)
             pad = (-nq) % q_tile
             if pad:   # pad rows on device with INVALID=4 (one-hots to zero)
                 dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
             q_dev = ph._onehot_on_device(dev)
-            return stream_count_device(None, self._db_dev, nd, editdist,
-                                       self.length, db_tile=self._db_tile,
+            return stream_count_device(None, db_dev, nd, editdist,
+                                       self.length, db_tile=db_tile,
                                        q_tile=q_tile, q_dev=q_dev, nq=nq)
         # xla backend: scan-matmul counting twin
-        from .hamming import _count_all, fit_tile, prepare_db
-        if self._db_dev is None:
-            self._db_tile = fit_tile(8192, nd)
-            self._db_dev = prepare_db(self._onehot, self._db_tile)
+        from .hamming import _count_all, fit_tile
+        db_dev, db_tile = self._ensure_xla_db(8192)
         q_tile = fit_tile(2048, nq)
         dev = jnp.asarray(codes)
         pad = (-nq) % q_tile
@@ -379,9 +410,9 @@ class KnnIndex:
             dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
         q_oh = jax.nn.one_hot(dev, 4, dtype=jnp.bfloat16).reshape(
             dev.shape[0], -1)
-        counts = _count_all(q_oh, self._db_dev, jnp.int32(nd),
+        counts = _count_all(q_oh, db_dev, jnp.int32(nd),
                             editdist=editdist, length=self.length,
-                            db_tile=self._db_tile, q_tile=q_tile)
+                            db_tile=db_tile, q_tile=q_tile)
         return fetch(counts)[:nq]
 
     def pass_mask_within(self, codes, editdist: int,
@@ -398,39 +429,51 @@ class KnnIndex:
         the bytes in one fetch PER chunk — measured 22 s of a 24 s
         control search on the 10M-candidate rung).
         """
+        nq = int(codes.shape[0])
+        if nq == 0:
+            return np.empty(0, np.uint8)
         if (self.backend != "pallas" or _use_packed(self.length)
                 or editdist > self.length):
-            counts = self.count_within(codes, editdist)
-            return None if counts is None else \
-                (counts == 0).astype(np.uint8)
+            # fallback backends keep the original per-chunk dispatch
+            # discipline (bounded peak memory + bounded head-of-line
+            # blocking of concurrent pipeline device work)
+            parts = []
+            for lo in range(0, nq, chunk):
+                counts = self.count_within(codes[lo:lo + chunk], editdist)
+                if counts is None:
+                    return None
+                parts.append((counts == 0).astype(np.uint8))
+            return parts[0] if len(parts) == 1 else np.concatenate(parts)
         import jax
         import jax.numpy as jnp
         from ..util import fetch, warm_d2h_channel
         from . import pallas_hamming as ph
         from .pallas_stream import _stream_count
         warm_d2h_channel(wait=True)
-        nd = len(self.seqs)
-        if self._db_dev is None:
-            self._db_tile = min(
-                8192, max(128, 1 << int(nd - 1).bit_length()))
-            self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+        db_dev, db_tile = self._ensure_pallas_db(8192)
         interpret = jax.default_backend() != "tpu"
-        nq = int(codes.shape[0])
         masks = []
         for lo in range(0, nq, chunk):
             part = codes[lo:lo + chunk]
             m = int(part.shape[0])
             q_tile, _ = ph.clamp_tiles(
-                min(1024, max(8, 1 << (m - 1).bit_length())), self._db_tile)
+                min(1024, max(8, 1 << (m - 1).bit_length())), db_tile)
             dev = part if isinstance(part, jnp.ndarray) else jnp.asarray(part)
             pad = (-m) % q_tile
             if pad:  # pad rows on device with INVALID=4 (one-hots to zero)
                 dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
             counts = _stream_count(
-                ph._onehot_on_device(dev), self._db_dev,
+                ph._onehot_on_device(dev), db_dev,
                 length=self.length, editdist=editdist,
-                q_tile=q_tile, db_tile=self._db_tile, interpret=interpret)
+                q_tile=q_tile, db_tile=db_tile, interpret=interpret)
             masks.append((counts[:m, 0] == 0).astype(jnp.uint8))
+            if len(masks) >= 2:
+                # bound in-flight chunks to 2: each queued _stream_count
+                # output is a (chunk, 128)-int32 buffer (1 GiB at 2^21
+                # rows) allocated at dispatch; waiting on the mask two
+                # chunks back caps transient HBM at ~2 buffers while
+                # keeping the dispatch pipeline full
+                masks[-2].block_until_ready()
         out = masks[0] if len(masks) == 1 else jnp.concatenate(masks)
         return fetch(out)
 

@@ -168,6 +168,8 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
     """
     nq, nd = q_codes.shape[0], db_codes.shape[0]
     length = q_codes.shape[1]
+    if length > 31 and engine == "myers":
+        engine = "dp"   # Myers packs the DP column into one int32
     k_eff = min(k, nd)
     db_tile = min(db_tile, max(128, 1 << (int(nd - 1).bit_length())))
 

@@ -131,7 +131,9 @@ def fetch(device_array):
     import numpy as np
     t0 = time.time()
     warm_d2h_channel(wait=True)
-    _channel_wait_total += time.time() - t0
+    dt = time.time() - t0
+    with _warm_lock:   # fetch() runs from the control-search thread too
+        _channel_wait_total += dt
     return np.asarray(device_array)
 
 
