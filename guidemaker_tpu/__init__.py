@@ -50,11 +50,32 @@ def _host_cpu_sig() -> str:
     return f"{_platform.machine()}-{sig}"
 
 
+def _cpu_only_platform() -> bool:
+    """True when JAX is pinned to the CPU backend (config or env).
+
+    XLA:CPU AOT-caches record pseudo target features (e.g.
+    ``prefer-no-scatter``) that the loader's host-feature check does not
+    derive from CPUID, so *every* reload of a CPU cache entry logs a
+    ``cpu_aot_loader.cc`` machine-mismatch error and risks a refused
+    load.  CPU compiles are fast and local — the persistent cache only
+    pays for itself on remote/tunneled TPU backends — so skip it for
+    CPU-pinned processes (tests, dryruns, ad-hoc library use).
+    """
+    try:
+        import jax as _jax2
+        plat = _jax2.config.jax_platforms or _os.environ.get(
+            "JAX_PLATFORMS", "")
+    except Exception:
+        plat = _os.environ.get("JAX_PLATFORMS", "")
+    return plat.strip().lower() == "cpu"
+
+
 if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
         not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
         import jax as _jax
-        if _jax.config.jax_compilation_cache_dir is None:
+        if _jax.config.jax_compilation_cache_dir is None \
+                and not _cpu_only_platform():
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.expanduser(
@@ -80,7 +101,7 @@ from . import doench_featurization
 
 # single source of truth for the package version: pyproject.toml reads
 # this attribute dynamically ([tool.setuptools.dynamic])
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "PamTarget", "TargetProcessor", "Annotation",

@@ -194,6 +194,11 @@ class KnnIndex:
             warm_d2h_channel(wait=True)
         qc = np.asarray(qc, dtype=np.uint8)
         if self.metric != "hamming":
+            if self.backend == "native" and self.length <= 32:
+                from .. import native
+                if native.available():
+                    return native.leven_topk(qc, self._codes, k,
+                                             n_threads=self.num_threads)
             if self.backend == "sharded":
                 from ..distributed import auto_mesh
                 from .sharded import sharded_leven_topk

@@ -64,6 +64,9 @@ def load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int32, i32, i32]
     lib.gm_levenshtein.restype = ctypes.c_int32
     lib.gm_levenshtein.argtypes = [u8, ctypes.c_int32, u8, ctypes.c_int32]
+    lib.gm_leven_topk.argtypes = [u8, ctypes.c_int64, u8, ctypes.c_int64,
+                                  ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, i32, i32]
     _lib = lib
     return _lib
 
@@ -113,6 +116,38 @@ def hamming_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int,
     dist = np.empty((nq, k_eff), dtype=np.int32)
     idx = np.empty((nq, k_eff), dtype=np.int32)
     lib.gm_hamming_topk(
+        _u8ptr(db), nd, _u8ptr(q), nq, L, k_eff, n_threads,
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if k_eff < k:
+        pad = np.full((nq, k - k_eff), -1, dtype=np.int32)
+        dist = np.concatenate([dist, pad], axis=1)
+        idx = np.concatenate([idx, pad], axis=1)
+    return dist, idx
+
+
+def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int,
+               n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact Levenshtein k-NN via the bit-parallel Myers kernel.
+
+    Same contract and tie-break ordering (distance asc, db index asc) as
+    :func:`hamming_topk` and the JAX ``knn.leven.leven_topk`` engine.
+    Requires guide length <= 32 (the DP column packs into one uint32);
+    longer guides must use the JAX full-DP path.
+    """
+    lib = load()
+    q = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    db = np.ascontiguousarray(db_codes, dtype=np.uint8)
+    nq, L = q.shape
+    if L > 32:
+        raise ValueError(f"native leven_topk requires L <= 32, got {L}")
+    nd = db.shape[0]
+    k_eff = min(k, nd)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    dist = np.empty((nq, k_eff), dtype=np.int32)
+    idx = np.empty((nq, k_eff), dtype=np.int32)
+    lib.gm_leven_topk(
         _u8ptr(db), nd, _u8ptr(q), nq, L, k_eff, n_threads,
         dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))

@@ -153,6 +153,101 @@ void gm_hamming_topk(const uint8_t* db_codes, int64_t nd,
 }
 
 // ---------------------------------------------------------------------------
+// Levenshtein k-NN: bit-parallel Myers (1999) + insertion top-k
+// ---------------------------------------------------------------------------
+
+// Same algorithm as the JAX kernel `leven_block_myers` (knn/leven.py): the
+// whole DP column for one (pattern, text) pair lives in one machine word,
+// advanced one text character per step.  Guide length L <= 32 fits uint32.
+// Top-k keys are packed (dist << 32) | idx, so ties break toward the lower
+// db index — identical ordering to gm_hamming_topk and the JAX engines.
+static void leven_topk_range(const uint8_t* db, int64_t nd, const uint8_t* qs,
+                             int64_t q_lo, int64_t q_hi, int32_t L, int32_t k,
+                             int32_t* out_dist, int32_t* out_idx) {
+    const uint32_t mask =
+        (L >= 32) ? 0xffffffffu : ((1u << L) - 1u);
+    const uint32_t bit_m = 1u << (L - 1);
+    std::vector<int64_t> heap(k);  // ascending insertion-sorted keys
+    for (int64_t q = q_lo; q < q_hi; ++q) {
+        const uint8_t* qc = qs + q * L;
+        // per-query match bitmasks Peq[c]: bit i set iff pattern[i] == c
+        uint32_t peq[4] = {0, 0, 0, 0};
+        for (int32_t i = 0; i < L; ++i) peq[qc[i] & 3] |= 1u << i;
+        int32_t filled = 0;
+        int64_t worst = INT64_MAX;
+        for (int64_t row = 0; row < nd; ++row) {
+            const uint8_t* dc = db + row * L;
+            uint32_t pv = mask, mv = 0;
+            int32_t score = L;
+            for (int32_t j = 0; j < L; ++j) {
+                const uint32_t eq = peq[dc[j] & 3];
+                const uint32_t xv = eq | mv;
+                const uint32_t xh = (((eq & pv) + pv) ^ pv) | eq;
+                uint32_t ph = mv | (~(xh | pv) & mask);
+                const uint32_t mh = pv & xh;
+                if (ph & bit_m) ++score;
+                else if (mh & bit_m) --score;
+                ph = ((ph << 1) | 1u) & mask;
+                pv = ((mh << 1) | (~(xv | ph) & mask)) & mask;
+                mv = ph & xv;
+            }
+            const int64_t key = ((int64_t)score << 32) | (int64_t)row;
+            if (filled < k) {
+                int32_t pos = filled++;
+                while (pos > 0 && heap[pos - 1] > key) {
+                    heap[pos] = heap[pos - 1];
+                    --pos;
+                }
+                heap[pos] = key;
+                worst = heap[filled - 1];
+            } else if (key < worst) {
+                int32_t pos = k - 1;
+                while (pos > 0 && heap[pos - 1] > key) {
+                    heap[pos] = heap[pos - 1];
+                    --pos;
+                }
+                heap[pos] = key;
+                worst = heap[k - 1];
+            }
+        }
+        for (int32_t i = 0; i < k; ++i) {
+            if (i < filled) {
+                out_dist[q * k + i] = (int32_t)(heap[i] >> 32);
+                out_idx[q * k + i] = (int32_t)(heap[i] & 0xffffffff);
+            } else {
+                out_dist[q * k + i] = -1;
+                out_idx[q * k + i] = -1;
+            }
+        }
+    }
+}
+
+// db_codes: (nd, L) uint8; q_codes: (nq, L) uint8; outputs (nq, k) int32.
+// Requires 1 <= L <= 32 (the Python wrapper gates longer guides to the
+// JAX/full-DP paths).
+void gm_leven_topk(const uint8_t* db_codes, int64_t nd,
+                   const uint8_t* q_codes, int64_t nq,
+                   int32_t L, int32_t k, int32_t n_threads,
+                   int32_t* out_dist, int32_t* out_idx) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || nq < 2 * n_threads) {
+        leven_topk_range(db_codes, nd, q_codes, 0, nq, L, k,
+                         out_dist, out_idx);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (nq + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, nq);
+        if (lo >= hi) break;
+        threads.emplace_back(leven_topk_range, db_codes, nd, q_codes, lo, hi,
+                             L, k, out_dist, out_idx);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
 // Levenshtein distance (full DP, equal-length inputs)
 // ---------------------------------------------------------------------------
 
