@@ -482,6 +482,47 @@ class KnnIndex:
         out = masks[0] if len(masks) == 1 else jnp.concatenate(masks)
         return fetch(out)
 
+    def pass_mask_chunks(self, chunks, editdist: int):
+        """:meth:`pass_mask_within` over a list of EQUAL-SHAPE device
+        candidate chunks — every dispatch reuses ONE fixed-shape counting
+        executable, or None when unsupported.
+
+        On tunneled backends each distinct program shape pays a
+        multi-second executable upload; the control ladder's rungs
+        (10k/100k/1M/10M candidates) used to compile+load a fresh
+        counting program per rung (measured ~12 s of a ~27 s search was
+        shape churn, not arithmetic).  Sampling candidates in fixed-size
+        chunks makes every rung — and the prewarm — hit the same
+        program.  Returns one uint8 mask over all chunk rows in order
+        (callers slice off any tail rows beyond the rung size).
+        """
+        if (self.backend != "pallas" or _use_packed(self.length)
+                or editdist > self.length):
+            return None
+        import jax
+        import jax.numpy as jnp
+        from ..util import fetch, warm_d2h_channel
+        from . import pallas_hamming as ph
+        from .pallas_stream import _stream_count
+        warm_d2h_channel(wait=True)
+        db_dev, db_tile = self._ensure_pallas_db(8192)
+        interpret = jax.default_backend() != "tpu"
+        rows = int(chunks[0].shape[0])
+        q_tile, _ = ph.clamp_tiles(min(1024, rows), db_tile)
+        masks = []
+        for dev in chunks:
+            counts = _stream_count(
+                ph._onehot_on_device(dev), db_dev,
+                length=self.length, editdist=editdist,
+                q_tile=q_tile, db_tile=db_tile, interpret=interpret)
+            masks.append((counts[:rows, 0] == 0).astype(jnp.uint8))
+            if len(masks) >= 2:
+                # cap transient HBM at ~2 in-flight count buffers while
+                # keeping the dispatch pipeline full (see pass_mask_within)
+                masks[-2].block_until_ready()
+        out = masks[0] if len(masks) == 1 else jnp.concatenate(masks)
+        return fetch(out)
+
     def neighbor_seqs(self, idx_row: np.ndarray) -> List[str]:
         """Map database indices to sequences (fixes the reference's
         set-ordering index bug, core.py:446 vs core.py:513)."""

@@ -22,6 +22,7 @@ import hashlib
 import logging
 import re
 import statistics
+import time
 from copy import deepcopy
 from typing import Dict, List, Optional
 
@@ -59,6 +60,28 @@ def _device_sampler():
 
         _SAMPLER = sample
     return _SAMPLER
+
+
+#: max passers gathered per triage chunk through the fixed-shape take
+#: (pass rates on a successful rung sit near n/m ~ 1e-4, so a 2^19-row
+#: chunk carries ~50-500 passers; a chunk exceeding the cap falls back
+#: to the rung-wide gather)
+_PASSER_CAP = 1024
+
+
+def _control_chunk_rows() -> int:
+    """Fixed candidate-chunk row count for the control-ladder triage.
+
+    Big enough on TPU that the per-dispatch overhead amortizes (one
+    2^19-row chunk is ~0.6e12 pair comparisons, ~0.5 s on a v5e counting
+    at ~1.2 T pairs/s); small elsewhere so Pallas interpret-mode tests
+    stay fast.  The value is a shape constant: changing it changes which
+    threefry streams the rungs draw, i.e. seeded control sequences are
+    reproducible per (version, platform), matching the reference's
+    unseeded contract.
+    """
+    import jax
+    return (1 << 19) if jax.default_backend() == "tpu" else (1 << 13)
 
 
 class TargetProcessor:
@@ -302,12 +325,12 @@ class TargetProcessor:
         upload — multiple seconds each on tunneled backends) overlaps
         the host-bound annotation/scoring stages.
 
-        Compiles exactly the rung-0 shapes ``get_control_seqs`` will use:
-        the on-device sampler, the counting triage, and the exact k=1
-        query at the rung-padded batch size (``_control_search`` pads
-        the passer batch to the rung size so the program shape is
-        deterministic).  Returns the thread; join it (or just call
-        ``get_control_seqs``, which tolerates overlap) at any point.
+        Compiles exactly the shapes ``get_control_seqs`` will use: the
+        fixed-chunk on-device sampler, the fixed-chunk counting triage
+        (ONE executable serves every rung — see ``_control_chunk_rows``),
+        and the exact k=1 query at a typical passer-batch bucket.
+        Returns the thread; join it (or just call ``get_control_seqs``,
+        which tolerates overlap) at any point.
         """
         import threading
 
@@ -319,15 +342,29 @@ class TargetProcessor:
                     config = yaml.safe_load(cf)
                 mult0 = config["CONTROL"]["CONTROL_SEARCH_MULTIPLE"][0]
                 mindist = config["CONTROL"]["MINIMUM_HMDIST"]
-                m = n * mult0
+                chunk = _control_chunk_rows()
                 cum = jnp.cumsum(jnp.asarray([.25, .25, .25, .25],
                                              jnp.float32))
                 codes_dev = _device_sampler()(jax.random.PRNGKey(0), cum,
-                                              m=m, length=length)
-                counts = self.index.count_within(codes_dev, mindist)
-                if counts is not None:
+                                              m=chunk, length=length)
+                pm = self.index.pass_mask_chunks([codes_dev], mindist)
+                if pm is not None:
+                    # warm the fixed-shape passer gather (take + fetch)
+                    self._gather_chunk_passers(
+                        [codes_dev], np.arange(2, dtype=np.int64), chunk)
+                else:
+                    pm = self.index.count_within(codes_dev, mindist)
+                if pm is not None:
+                    # passer batches land in the pow2 bucket around ~4n
+                    # in practice (pass rates settle near n/m on the
+                    # successful rung); also warm rung-0's full-batch
+                    # shape, which the monolithic fallback queries
+                    warm_rows = max(128, 1 << (4 * n - 1).bit_length())
                     self.index.query_codes(
-                        np.zeros((m, length), np.uint8), k=1)
+                        np.zeros((warm_rows, length), np.uint8), k=1)
+                    if n * mult0 <= chunk:
+                        self.index.query_codes(
+                            np.zeros((n * mult0, length), np.uint8), k=1)
             except Exception:   # prewarm is best-effort only
                 logger.debug("control prewarm failed", exc_info=True)
 
@@ -338,6 +375,43 @@ class TargetProcessor:
         return t
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _gather_chunk_passers(chunks, passers, m):
+        """Fetch passer candidate codes from equal-shape device chunks.
+
+        Per-chunk gathers with indices padded to ``_PASSER_CAP`` keep the
+        gather a single fixed-shape executable (prewarmable; an
+        unbucketed ``take`` over the whole rung recompiled on every run
+        because passer counts vary, and the rung-wide concat+take
+        programs cost ~6 s of first-run executable loads on the tunnel).
+        Everything then moves host-side in ONE batched transfer.
+        Returns the (npass, L) uint8 host matrix in ``passers`` order, or
+        None when any chunk holds more than ``_PASSER_CAP`` passers (the
+        caller falls back to the rung-wide gather).
+        """
+        import jax.numpy as jnp
+
+        from .util import fetch_list
+
+        chunk = int(chunks[0].shape[0])
+        local = []
+        for c in range(len(chunks)):
+            li = passers[(passers >= c * chunk)
+                         & (passers < (c + 1) * chunk)] - c * chunk
+            if li.size > _PASSER_CAP:
+                return None
+            local.append(li)
+        takes, sizes = [], []
+        for c, li in enumerate(local):
+            if li.size == 0:
+                continue
+            idx = np.zeros(_PASSER_CAP, np.int32)
+            idx[:li.size] = li
+            takes.append(jnp.take(chunks[c], jnp.asarray(idx), axis=0))
+            sizes.append(int(li.size))
+        fetched = fetch_list(takes)
+        return np.concatenate([f[:s] for f, s in zip(fetched, sizes)])
+
     def _control_search(self, gc: float, length: int, n: int,
                         multiples, minimum_hmdist_target: int,
                         seed: Optional[int]):
@@ -370,29 +444,55 @@ class TargetProcessor:
             [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2], jnp.float32))
 
         sample_codes = _device_sampler()
-        # chunk large rungs: the search runs concurrently with the
-        # pipeline's annotation/scoring stages, and a single monolithic
-        # counting program would block their (small) device work behind
-        # ~10 s of queue head-of-line; ~2 s chunks bound that wait
-        chunk = 1 << 21
+        # candidates are sampled in FIXED-SHAPE chunks so every rung's
+        # triage (and the prewarm) reuses one sampler executable and one
+        # counting executable — on tunneled backends each distinct
+        # program shape costs a multi-second upload, and the ladder's
+        # four rung sizes used to pay it four times (~12 s of a ~27 s
+        # search).  Chunking also bounds head-of-line blocking of the
+        # concurrent annotation/scoring stages' device work.
+        chunk = _control_chunk_rows()
 
         search_mult = 0
         for rung, search_mult in enumerate(multiples):
+            t_rung = time.time()
             m = n * search_mult
-            codes_dev = sample_codes(jax.random.fold_in(key, rung), cum,
-                                     m=m, length=length)
+            rkey = jax.random.fold_in(key, rung)
+            nchunks = -(-m // chunk)
+            chunks = [sample_codes(jax.random.fold_in(rkey, c), cum,
+                                   m=chunk, length=length)
+                      for c in range(nchunks)]
             # triage transfer: one uint8/candidate in a single fetch —
             # all chunk dispatches are async, so the tunnel RTT is paid
-            # once per rung, not once per 2M-candidate chunk
-            pm = self.index.pass_mask_within(codes_dev,
-                                             minimum_hmdist_target,
-                                             chunk=chunk)
+            # once per rung, not once per chunk
+            pm = self.index.pass_mask_chunks(chunks, minimum_hmdist_target)
+            codes_dev = None
+            if pm is not None:
+                pm = pm[:m]     # tail rows of the last chunk pad the shape
+            else:               # packed/non-pallas backends: monolithic path
+                codes_dev = (chunks[0] if nchunks == 1
+                             else jnp.concatenate(chunks))[:m]
+                pm = self.index.pass_mask_within(codes_dev,
+                                                 minimum_hmdist_target,
+                                                 chunk=max(chunk, 1 << 21))
+            t_triage = time.time()
             if pm is not None:
                 passers = np.flatnonzero(pm)
                 if passers.size < n:
+                    logger.debug("control rung %d (m=%d): %d passers < n "
+                                 "after %.2fs triage; escalating", rung, m,
+                                 passers.size, t_triage - t_rung)
                     continue          # rung failed; escalate
-                pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
-                                    axis=0))
+                if codes_dev is None:
+                    pc = self._gather_chunk_passers(chunks, passers, m)
+                if codes_dev is None and pc is None:
+                    # >cap passers in one chunk (tiny rungs with huge
+                    # pass rates): materialize the rung matrix once
+                    codes_dev = (chunks[0] if nchunks == 1
+                                 else jnp.concatenate(chunks))[:m]
+                if codes_dev is not None:
+                    pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
+                                        axis=0))
                 # exact distances only for the passers (the query path
                 # pow2-buckets its batch internally); padding to the rung
                 # size would push up to m >> n rows through the top-k
@@ -403,6 +503,10 @@ class TargetProcessor:
                 pc = fetch(codes_dev)
                 dists, _ = self.index.query_codes(pc, k=1)
                 nearest = dists[:, 0].astype(np.int64)
+            logger.debug("control rung %d (m=%d): triage %.2fs, exact k=1 "
+                         "for %d passers %.2fs", rung, m,
+                         t_triage - t_rung, pc.shape[0],
+                         time.time() - t_triage)
             order = np.argsort(-nearest, kind="stable")[:n]
             sort_dist = [float(nearest[i]) for i in order]
             if int(min(sort_dist)) >= minimum_hmdist_target:
@@ -435,10 +539,13 @@ class TargetProcessor:
         self._control_exc: Optional[BaseException] = None
 
         def _run():
+            t0 = time.time()
             try:
                 self._control_result = self._get_control_seqs_now(
                     parse_fasta(fastapath), configpath, length, n,
                     num_threads, seed)
+                logger.debug("background control search finished in %.2fs",
+                             time.time() - t0)
             except BaseException as exc:   # re-raised by get_control_seqs
                 # also log now: if the join is skipped (arg mismatch or
                 # caller never joins) the failure must not vanish
@@ -500,6 +607,7 @@ class TargetProcessor:
         minimum_hmdist_target = config["CONTROL"]["MINIMUM_HMDIST"]
         multiples = config["CONTROL"]["CONTROL_SEARCH_MULTIPLE"]
 
+        t0 = time.time()
         totlen = 0
         gccnt = 0.0
         for record in seq_record_iter:
@@ -509,10 +617,13 @@ class TargetProcessor:
         gc = gccnt / totlen
         self.gc_percent = gc * 100
         self.genomesize = totlen / (1024 * 1024)
+        t_gc = time.time()
 
         th = getattr(self, "_prewarm_thread", None)
         if th is not None:
             th.join(timeout=600)   # let the program loads finish cleanly
+        logger.debug("control search: GC pass %.2fs, prewarm join %.2fs",
+                     t_gc - t0, time.time() - t_gc)
         sort_seq, sort_dist, search_mult = self._control_search(
             gc, length, n, multiples, minimum_hmdist_target, seed)
 

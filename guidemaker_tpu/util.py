@@ -137,6 +137,23 @@ def fetch(device_array):
     return np.asarray(device_array)
 
 
+def fetch_list(device_arrays):
+    """:func:`fetch` for a list of device arrays in one round.
+
+    ``jax.device_get`` moves the whole batch over the (pre-warmed)
+    channel without paying one host round trip per array — used where a
+    result is naturally sharded across equal-shape device chunks (the
+    control ladder's per-chunk passer gathers)."""
+    global _channel_wait_total
+    import jax
+    t0 = time.time()
+    warm_d2h_channel(wait=True)
+    dt = time.time() - t0
+    with _warm_lock:
+        _channel_wait_total += dt
+    return jax.device_get(list(device_arrays))
+
+
 @contextlib.contextmanager
 def stage_timer(name: str):
     """Log the wall-clock (and process CPU) duration of a pipeline stage."""

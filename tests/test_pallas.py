@@ -160,3 +160,32 @@ def test_pass_distance_filter_duplicated_db_falls_back():
     expect = (dists[:, 1] >= 0) & (dists[:, 1] >= 2)
     np.testing.assert_array_equal(got, expect)
     assert not got[0]  # the duplicated guide has a 0-distance neighbor
+
+
+def test_pass_mask_chunks_matches_within_and_oracle():
+    """The fixed-shape chunked triage (one counting executable for every
+    control rung) must agree with pass_mask_within and the numpy oracle,
+    including tail rows beyond the rung size."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, size=(500, 20)).astype(np.uint8)
+    idx = KnnIndex(dna.decode_rows(codes), backend="pallas")
+    cand = rng.integers(0, 4, size=(700, 20)).astype(np.uint8)
+    cand[5] = codes[3]                      # exact member -> close hit
+    cand[40] = codes[8]; cand[40, 0] ^= 1   # distance-1 neighbor
+    for editdist in (1, 7):
+        dist = (cand[:, None, :] != codes[None, :, :]).sum(axis=2)
+        oracle = ((dist < editdist).sum(axis=1) == 0).astype(np.uint8)
+        got_within = idx.pass_mask_within(jnp.asarray(cand), editdist)
+        np.testing.assert_array_equal(got_within, oracle)
+        # equal-shape chunks: 700 rows as 2 x 384 (tail 68 rows padded
+        # with sampled junk the caller slices off)
+        rows = 384
+        pad = np.concatenate(
+            [cand, rng.integers(0, 4, size=(2 * rows - 700, 20),
+                                dtype=np.uint8)])
+        chunks = [jnp.asarray(pad[:rows]), jnp.asarray(pad[rows:])]
+        got_chunks = idx.pass_mask_chunks(chunks, editdist)
+        assert got_chunks.shape == (2 * rows,)
+        np.testing.assert_array_equal(got_chunks[:700], oracle)
