@@ -139,19 +139,22 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         logger.info("Indexing all potential guide sites (exact k-NN)")
         with stage_timer("index build"):
             tl.create_index(configpath=cfg.config, num_threads=cfg.threads)
-        if cfg.controls > 0 and not cfg.raw_output_only:
-            # run the whole control search (mostly device time) in the
-            # background: it needs only the index, so launching it BEFORE
-            # get_neighbors overlaps it with the retention pass plus the
-            # host-bound annotation and scoring stages below; the
-            # controls stage just joins it
-            tl.launch_control_search(fastapath, configpath=cfg.config,
-                                     length=cfg.guidelength,
-                                     n=cfg.controls, seed=cfg.seed)
         logger.info("Finding guides with distance > %s to all other guides",
                     cfg.dist)
         with maybe_profile(cfg.profile), stage_timer("exact k-NN"):
             tl.get_neighbors(configpath=cfg.config, num_threads=cfg.threads)
+        if cfg.controls > 0 and not cfg.raw_output_only:
+            # run the whole control search (mostly device time) in the
+            # background, launched AFTER the retention/k-NN stage: the
+            # ladder's triage rungs are near-roofline device programs
+            # now, and overlapping them with the k-NN stage's device
+            # work just serialized both (measured +7 s on exact k-NN);
+            # the host-bound annotation/scoring/formatting stages below
+            # are the window the ladder actually hides in.  The controls
+            # stage at the end just joins it.
+            tl.launch_control_search(fastapath, configpath=cfg.config,
+                                     length=cfg.guidelength,
+                                     n=cfg.controls, seed=cfg.seed)
         tf_df = tl.export_bed()
         result.raw_bed = tf_df
 
