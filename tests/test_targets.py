@@ -208,3 +208,33 @@ def test_get_control_seqs_leven(genome_fasta, configpath):
     for s, want in list(zip(df["Sequences"], df["Hamming distance"]))[:3]:
         best = min(lev(s, t) for t in tl.index.seqs)
         assert best == int(want)
+
+
+def test_control_seqs_pallas_chunked_ladder(genome_fasta, configpath,
+                                            monkeypatch):
+    """The fixed-shape chunked triage + per-chunk passer gather (the TPU
+    pipeline's default path) must produce valid controls on the pallas
+    backend in interpret mode — this is the route the default-backend
+    suite otherwise never exercises on CPU (where xla is the default)."""
+    monkeypatch.setenv("GUIDEMAKER_TPU_KERNEL", "pallas")
+    pamobj = PamTarget("ATGA", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    assert tl.index.backend == "pallas"
+    cmin, cmed, df = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                         configpath=configpath, length=20,
+                                         n=12, seed=42)
+    assert cmin >= 7 and len(df) == 12
+    # reported distances are the exact nearest-target distances
+    import numpy as np
+    d, _ = tl.index.query(df["Sequences"].tolist(), k=1)
+    np.testing.assert_array_equal(
+        d[:, 0], df["Hamming distance"].to_numpy().astype(np.int32))
+    # deterministic given the seed (chunked threefry streams)
+    _, _, df2 = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                    configpath=configpath, length=20,
+                                    n=12, seed=42)
+    assert df["Sequences"].tolist() == df2["Sequences"].tolist()
