@@ -237,13 +237,29 @@ def cold_e2e_child():
     fresh tempdir), cold device channel.  The analog of a user's first
     `guidemaker` invocation vs the reference's ~1-2 min (README.md:15).
 
-    Prints one JSON line with the cold timings; the parent merges it."""
+    Prints JSON lines as milestones land (first d2h, each stage) so the
+    parent can salvage partial cold data when the child's own channel
+    lottery (1-330 s) pushes it past its budget; the final full record
+    is the last line and the parent merges later lines over earlier."""
+    import logging
+
     import jax as _jax
     import numpy as _np
     import jax.numpy as _jnp
     t0 = time.time()
     _np.asarray(_jnp.zeros(8, _jnp.int32))
     first_d2h = time.time() - t0
+    print(json.dumps({"cold_first_d2h_s": round(first_d2h, 2)}), flush=True)
+
+    class StageStream(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "[stage]" in msg:
+                parts = msg.split("[stage]")[1].split()
+                print(json.dumps({"cold_stage_" + "_".join(parts[:-5]):
+                                  float(parts[-5])}), flush=True)
+
+    logging.getLogger("guidemaker_tpu.timing").addHandler(StageStream())
     stages: dict = {}
     e2e, guides, transport = run_e2e(stages)
     out = {"cold_e2e_seconds": round(e2e, 2),
@@ -501,15 +517,8 @@ def _main_body():
                 env=env, capture_output=True, text=True,
                 timeout=child_budget)
             wall = time.time() - t0
-            cold = None
-            for line in proc.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    try:
-                        cold = json.loads(line)
-                    except ValueError:
-                        pass
-            if cold:
+            cold = _merge_cold_lines(proc.stdout)
+            if cold and "cold_e2e_seconds" in cold:
                 record["e2e_cold_seconds"] = cold["cold_e2e_seconds"]
                 record["e2e_cold_first_d2h_s"] = cold["cold_first_d2h_s"]
                 record["e2e_cold_transport_wait_s"] = cold.get(
@@ -521,13 +530,38 @@ def _main_body():
                     f"({wall:.1f} s process wall, first d2h "
                     f"{cold['cold_first_d2h_s']} s)")
             else:
+                if cold:
+                    record["e2e_cold_partial"] = cold
                 record["e2e_cold_error"] = (proc.stderr or "no output")[-300:]
                 log(f"  cold e2e child produced no record (rc={proc.returncode})")
                 log((proc.stderr or "")[-800:])
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
+            # salvage the child's streamed milestones (first d2h, stage
+            # times) — the lottery can push the child past any budget,
+            # but the partial record still shows how far it got and how
+            # big the channel-open tax was
+            partial = _merge_cold_lines(te.stdout or "")
+            if partial:
+                record["e2e_cold_partial"] = partial
             record["e2e_cold_error"] = f"timeout after {child_budget:.0f}s"
-            log(f"  cold e2e child timed out after {child_budget:.0f}s")
+            log(f"  cold e2e child timed out after {child_budget:.0f}s "
+                f"(partial: {partial})")
         emit()
+
+
+def _merge_cold_lines(stdout) -> dict:
+    """Merge every JSON line the cold child printed (later keys win)."""
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
+    merged: dict = {}
+    for line in (stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                merged.update(json.loads(line))
+            except ValueError:
+                pass
+    return merged
 
     if not on_tpu:
         log("  WARNING: not on TPU; rates are not comparable")
