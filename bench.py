@@ -197,8 +197,8 @@ def run_e2e(stages: dict, *, controls=1000, seed=42):
         def emit(self, record):
             msg = record.getMessage()
             if "[stage]" in msg:
-                parts = msg.split("[stage]")[1].split()
-                stages[" ".join(parts[:-5])] = float(parts[-5])
+                name, secs = _parse_stage_line(msg)
+                stages[name] = secs
 
     grab = StageGrab()
     timing_logger = logging.getLogger("guidemaker_tpu.timing")
@@ -255,9 +255,10 @@ def cold_e2e_child():
         def emit(self, record):
             msg = record.getMessage()
             if "[stage]" in msg:
-                parts = msg.split("[stage]")[1].split()
-                print(json.dumps({"cold_stage_" + "_".join(parts[:-5]):
-                                  float(parts[-5])}), flush=True)
+                name, secs = _parse_stage_line(msg)
+                print(json.dumps(
+                    {"cold_stage_" + name.replace(" ", "_"): secs}),
+                    flush=True)
 
     logging.getLogger("guidemaker_tpu.timing").addHandler(StageStream())
     stages: dict = {}
@@ -548,6 +549,11 @@ def _main_body():
                 f"(partial: {partial})")
         emit()
 
+    if not on_tpu:
+        log("  WARNING: not on TPU; rates are not comparable")
+        record["not_tpu"] = True
+    emit()
+
 
 def _merge_cold_lines(stdout) -> dict:
     """Merge every JSON line the cold child printed (later keys win)."""
@@ -563,10 +569,13 @@ def _merge_cold_lines(stdout) -> dict:
                 pass
     return merged
 
-    if not on_tpu:
-        log("  WARNING: not on TPU; rates are not comparable")
-        record["not_tpu"] = True
-    emit()
+
+def _parse_stage_line(msg):
+    """Parse util.stage_timer's '[stage] <name> <secs> s (cpu ...)' log
+    line into (name, seconds) — the ONE parser for both the warm-run
+    stage grabber and the cold child's milestone streamer."""
+    parts = msg.split("[stage]")[1].split()
+    return " ".join(parts[:-5]), float(parts[-5])
 
 
 if __name__ == "__main__":

@@ -50,24 +50,33 @@ def _host_cpu_sig() -> str:
     return f"{_platform.machine()}-{sig}"
 
 
-def _cpu_only_platform() -> bool:
-    """True when JAX is pinned to the CPU backend (config or env).
+def _accelerator_expected() -> bool:
+    """True when this process will plausibly run a non-CPU backend.
 
     XLA:CPU AOT-caches record pseudo target features (e.g.
     ``prefer-no-scatter``) that the loader's host-feature check does not
     derive from CPUID, so *every* reload of a CPU cache entry logs a
     ``cpu_aot_loader.cc`` machine-mismatch error and risks a refused
     load.  CPU compiles are fast and local — the persistent cache only
-    pays for itself on remote/tunneled TPU backends — so skip it for
-    CPU-pinned processes (tests, dryruns, ad-hoc library use).
+    pays for itself on remote/tunneled accelerator backends — so the
+    cache is enabled only when an accelerator platform is requested
+    (config/env names one) or present (libtpu importable), covering
+    CPU-pinned tests/dryruns AND default-CPU laptop installs without
+    initializing any backend at import time.
     """
     try:
         import jax as _jax2
-        plat = _jax2.config.jax_platforms or _os.environ.get(
-            "JAX_PLATFORMS", "")
+        plat = (_jax2.config.jax_platforms
+                or _os.environ.get("JAX_PLATFORMS", "") or "")
     except Exception:
-        plat = _os.environ.get("JAX_PLATFORMS", "")
-    return plat.strip().lower() == "cpu"
+        plat = _os.environ.get("JAX_PLATFORMS", "") or ""
+    plat = plat.strip().lower()
+    if plat and plat != "cpu":
+        return True      # tpu/axon/cuda/rocm/proxy... explicitly requested
+    if plat == "cpu":
+        return False     # explicitly pinned to CPU
+    import importlib.util
+    return importlib.util.find_spec("libtpu") is not None
 
 
 if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
@@ -75,7 +84,7 @@ if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
     try:
         import jax as _jax
         if _jax.config.jax_compilation_cache_dir is None \
-                and not _cpu_only_platform():
+                and _accelerator_expected():
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.expanduser(

@@ -73,6 +73,10 @@ class KnnIndex:
             warm_d2h_channel()  # start opening the d2h channel early
         codes = dna.encode_batch(self.seqs, self.length)
         self._codes = codes.astype(np.uint8)
+        # the native engines pack 2 bits/base, which aliases INVALID=4
+        # to 'A'; ambiguous-base guides must take the JAX paths (one-hot
+        # zero rows: N matches nothing)
+        self._codes_ambiguous = bool(self._codes.max(initial=0) >= 4)
         self._db_dev = None   # device-resident padded database (lazy)
         self._db_tile = None
         self._db_packed = None       # packed-pair database (pallas_packed)
@@ -194,7 +198,9 @@ class KnnIndex:
             warm_d2h_channel(wait=True)
         qc = np.asarray(qc, dtype=np.uint8)
         if self.metric != "hamming":
-            if self.backend == "native" and self.length <= 32:
+            if (self.backend == "native" and self.length <= 32
+                    and not self._codes_ambiguous
+                    and not (qc >= 4).any()):
                 from .. import native
                 if native.available():
                     return native.leven_topk(qc, self._codes, k,
@@ -218,7 +224,8 @@ class KnnIndex:
                             _pad_rows(self._codes, tile))
             return leven_topk(qc, self._codes, k, db_tile=self._leven_tile,
                               db_dev=self._leven_db)
-        if self.backend == "native":
+        if (self.backend == "native" and not self._codes_ambiguous
+                and not (qc >= 4).any()):
             from .. import native
             if native.available():
                 return native.hamming_topk(qc, self._codes, k,
@@ -509,8 +516,11 @@ class KnnIndex:
         interpret = jax.default_backend() != "tpu"
         rows = int(chunks[0].shape[0])
         q_tile, _ = ph.clamp_tiles(min(1024, rows), db_tile)
+        pad = (-rows) % q_tile   # the pallas grid floor-divides by q_tile
         masks = []
         for dev in chunks:
+            if pad:  # pad rows on device with INVALID=4 (one-hots to zero)
+                dev = jnp.pad(dev, ((0, pad), (0, 0)), constant_values=4)
             counts = _stream_count(
                 ph._onehot_on_device(dev), db_dev,
                 length=self.length, editdist=editdist,

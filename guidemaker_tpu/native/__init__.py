@@ -104,7 +104,13 @@ def scan_pam(codes: np.ndarray, masks: np.ndarray) -> np.ndarray:
 
 def hamming_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int,
                  n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact k-NN via packed XOR/popcount; same contract as the JAX engine."""
+    """Exact k-NN via packed XOR/popcount; same contract as the JAX engine.
+
+    Precondition: all codes < 4 (strict ACGT).  The 2-bit packing
+    aliases INVALID=4 to 'A'; the KnnIndex driver routes ambiguous-base
+    guides to the JAX paths, where a one-hot zero row makes N match
+    nothing.
+    """
     lib = load()
     q = np.ascontiguousarray(q_codes, dtype=np.uint8)
     db = np.ascontiguousarray(db_codes, dtype=np.uint8)
@@ -132,8 +138,9 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int,
 
     Same contract and tie-break ordering (distance asc, db index asc) as
     :func:`hamming_topk` and the JAX ``knn.leven.leven_topk`` engine.
-    Requires guide length <= 32 (the DP column packs into one uint32);
-    longer guides must use the JAX full-DP path.
+    Requires guide length <= 32 (the DP column packs into one uint32)
+    and all codes < 4 (the Peq masks alias INVALID=4 to 'A'; see
+    :func:`hamming_topk`); the driver gates both.
     """
     lib = load()
     q = np.ascontiguousarray(q_codes, dtype=np.uint8)

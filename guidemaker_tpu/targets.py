@@ -351,7 +351,7 @@ class TargetProcessor:
                 if pm is not None:
                     # warm the fixed-shape passer gather (take + fetch)
                     self._gather_chunk_passers(
-                        [codes_dev], np.arange(2, dtype=np.int64), chunk)
+                        [codes_dev], np.arange(2, dtype=np.int64))
                 else:
                     pm = self.index.count_within(codes_dev, mindist)
                 if pm is not None:
@@ -376,7 +376,7 @@ class TargetProcessor:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _gather_chunk_passers(chunks, passers, m):
+    def _gather_chunk_passers(chunks, passers):
         """Fetch passer candidate codes from equal-shape device chunks.
 
         Per-chunk gathers with indices padded to ``_PASSER_CAP`` keep the
@@ -484,7 +484,7 @@ class TargetProcessor:
                                  passers.size, t_triage - t_rung)
                     continue          # rung failed; escalate
                 if codes_dev is None:
-                    pc = self._gather_chunk_passers(chunks, passers, m)
+                    pc = self._gather_chunk_passers(chunks, passers)
                 if codes_dev is None and pc is None:
                     # >cap passers in one chunk (tiny rungs with huge
                     # pass rates): materialize the rung matrix once

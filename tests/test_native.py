@@ -141,3 +141,22 @@ def test_banded_and_block_vs_native_oracle_10k_pairs():
     blk = np.asarray(leven_block(jnp.asarray(a[:m]), jnp.asarray(b[:m]),
                                  length=L))
     np.testing.assert_array_equal(np.diagonal(blk), want[:m])
+
+
+def test_ambiguous_codes_fall_back_to_jax_paths():
+    """Guides containing N (code 4) must not take the native engines:
+    the 2-bit packing would alias N to 'A'. The driver's gate routes
+    them to the JAX paths, which must agree with the xla backend."""
+    from guidemaker_tpu.knn.driver import KnnIndex
+    seqs = ["ACGTACGTACGTACGTACGT",
+            "NCGTACGTACGTACGTACGT",     # N aliases to A if packed
+            "TTTTACGTACGTACGTACGT"]
+    for metric in ("hamming", "leven"):
+        idx_n = KnnIndex(seqs, metric=metric, backend="native")
+        idx_x = KnnIndex(seqs, metric=metric, backend="xla")
+        d_n, i_n = idx_n.query(seqs, k=3)
+        d_x, i_x = idx_x.query(seqs, k=3)
+        np.testing.assert_array_equal(d_n, d_x)
+        np.testing.assert_array_equal(i_n, i_x)
+        # the N guide must NOT be at distance 0 from the A guide
+        assert d_n[0][i_n[0] == 1][0] > 0

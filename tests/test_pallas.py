@@ -179,13 +179,14 @@ def test_pass_mask_chunks_matches_within_and_oracle():
         oracle = ((dist < editdist).sum(axis=1) == 0).astype(np.uint8)
         got_within = idx.pass_mask_within(jnp.asarray(cand), editdist)
         np.testing.assert_array_equal(got_within, oracle)
-        # equal-shape chunks: 700 rows as 2 x 384 (tail 68 rows padded
-        # with sampled junk the caller slices off)
-        rows = 384
-        pad = np.concatenate(
-            [cand, rng.integers(0, 4, size=(2 * rows - 700, 20),
-                                dtype=np.uint8)])
-        chunks = [jnp.asarray(pad[:rows]), jnp.asarray(pad[rows:])]
-        got_chunks = idx.pass_mask_chunks(chunks, editdist)
-        assert got_chunks.shape == (2 * rows,)
-        np.testing.assert_array_equal(got_chunks[:700], oracle)
+        # equal-shape chunks, including a row count that is NOT a
+        # q_tile multiple (the kernel grid floor-divides by q_tile, so
+        # unpadded tail rows would read an unwritten output buffer)
+        for rows in (384, 350):
+            pad = np.concatenate(
+                [cand, rng.integers(0, 4, size=(2 * rows - 700, 20),
+                                    dtype=np.uint8)])
+            chunks = [jnp.asarray(pad[:rows]), jnp.asarray(pad[rows:])]
+            got_chunks = idx.pass_mask_chunks(chunks, editdist)
+            assert got_chunks.shape == (2 * rows,)
+            np.testing.assert_array_equal(got_chunks[:700], oracle)
