@@ -90,7 +90,25 @@ def emit():
     print(json.dumps(out), flush=True)
 
 
+_alarm_extensions = 0
+
+
 def _die(signum, frame):
+    global _alarm_extensions
+    if (signum == signal.SIGALRM and "metric" not in record
+            and _alarm_extensions < 8):
+        # the self-budget expired before the headline landed — almost
+        # always the tunnel's d2h channel open running long (observed
+        # > 560 s in a degraded phase).  Exiting now would record
+        # nothing; the driver's own timeout delivers SIGTERM whenever
+        # IT runs out, and that handler still emits.  So keep waiting
+        # in 120 s slices while there is nothing to lose.
+        _alarm_extensions += 1
+        log(f"  [bench] budget expired at t={time.time()-T0:.0f}s with no "
+            f"headline yet; extending {_alarm_extensions}/8")
+        emit()
+        signal.alarm(120)
+        return
     log(f"  [bench] signal {signum} at t={time.time()-T0:.0f}s; "
         "emitting record and exiting")
     emit()
@@ -295,6 +313,11 @@ def _main_body():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')} "
         f"budget {BUDGET_S:.0f}s")
     record["device"] = f"{dev.platform} {getattr(dev, 'device_kind', '')}"
+    try:
+        import guidemaker_tpu
+        record["version"] = guidemaker_tpu.__version__
+    except Exception:
+        pass
 
     # --- transport probe: start the d2h channel open in the background
     # and MEASURE it without blocking (observed 1.3-330 s across
@@ -490,8 +513,14 @@ def _main_body():
                         _Count.skipped += 1
 
             os.environ["GUIDEMAKER_TPU_HW"] = "1"
+            # --capture=sys: pytest's default fd-level capture dup2's
+            # fd 1 — the same fd carrying this bench's JSON record
+            # stream; an abrupt in-process teardown once truncated the
+            # final record line mid-write.  sys-level capture never
+            # touches the fd.
             rc = _pytest.main(
                 ["-q", "-m", "tpu", "-p", "no:cacheprovider", "--no-header",
+                 "--capture=sys",
                  os.path.join(REPO, "tests", "test_tpu_hw.py")],
                 plugins=[_Count()])
             record["hw_tests"] = {"passed": _Count.passed,
