@@ -19,7 +19,8 @@ timeout, BENCH_r03.json rc=124/parsed=null):
 * the cumulative JSON record is printed to stdout AFTER EVERY section —
   the last complete line wins, so a timeout mid-section loses only the
   sections not yet run;
-* a hard SIGALRM at ``GUIDEMAKER_BENCH_BUDGET_S`` (default 520 s) and a
+* a hard SIGALRM at ``GUIDEMAKER_BENCH_BUDGET_S`` (default 900 s, a
+  soft ceiling — see its comment) and a
   SIGTERM handler both emit the current record and exit, so even an
   external `timeout` kill leaves the record on stdout;
 * every section has a remaining-time gate; sections that do not fit are
@@ -55,7 +56,12 @@ BASELINE_HNSW_PAIRS = 3814 * 3814       # same-workload pair count
 BASELINE_PAIRS_PER_S = BASELINE_HNSW_PAIRS / BASELINE_HNSW_TUNED_S
 BASELINE_E2E_S = 90.0                   # reference README.md:15: ~1-2 min
 
-BUDGET_S = float(os.environ.get("GUIDEMAKER_BENCH_BUDGET_S", "560"))
+#: soft ceiling only: the record is re-emitted after every section and
+#: the SIGTERM handler emits on an external kill, so a driver window
+#: shorter than this loses nothing already measured.  900 s leaves the
+#: cold-start child its full 420 s allowance even after a bad (~300 s)
+#: channel-open lottery in the parent.
+BUDGET_S = float(os.environ.get("GUIDEMAKER_BENCH_BUDGET_S", "900"))
 T0 = time.time()
 
 record: dict = {}
@@ -415,9 +421,12 @@ def _main_body():
             t0 = time.time()
             passed = leven_pass_filter(pa_codes, pa_codes, 2)
             compile_s = time.time() - t0
-            t0 = time.time()
-            leven_pass_filter(pa_codes, pa_codes, 2)
-            tl_ = time.time() - t0
+            times = []
+            for _ in range(2):   # min-of-2: tunnel hiccups skew singles
+                t0 = time.time()
+                leven_pass_filter(pa_codes, pa_codes, 2)
+                times.append(time.time() - t0)
+            tl_ = min(times)
             pairs = pa_codes.shape[0] ** 2
             record["leven_retention_pairs_per_s"] = round(pairs / tl_)
             log(f"  P. aeruginosa LEVEN retention e=2: {tl_:.2f} s steady "
@@ -439,9 +448,12 @@ def _main_body():
             t0 = time.time()
             p3 = leven_pass_filter(pa_codes, pa_codes, 3)
             compile_s = time.time() - t0
-            t0 = time.time()
-            leven_pass_filter(pa_codes, pa_codes, 3)
-            tl3 = time.time() - t0
+            times = []
+            for _ in range(2):   # min-of-2: tunnel hiccups skew singles
+                t0 = time.time()
+                leven_pass_filter(pa_codes, pa_codes, 3)
+                times.append(time.time() - t0)
+            tl3 = min(times)
             record["leven_e3_retention_pairs_per_s"] = round(pairs / tl3)
             record["leven_e3_seconds"] = round(tl3, 2)
             log(f"  P. aeruginosa LEVEN retention e=3: {tl3:.2f} s steady "
