@@ -293,17 +293,39 @@ class TargetProcessor:
         else:
             # lazy phase 2: k-NN lists only for the guides actually kept
             d, i = self.index.query(seqs, k=self.knum)
-        db_seqs = np.asarray(self.index.seqs, dtype=object)
-        dist_strs, seq_strs = [], []
-        dl, il = d.tolist(), i.tolist()
-        for row_d, row_i in zip(dl, il):
-            n_valid = sum(1 for x in row_d if x >= 0)
-            dist_strs.append(";".join(map(str, row_d[:n_valid])))
-            seq_strs.append(";".join(db_seqs[j] for j in row_i[:n_valid]))
+        # vectorized ';' assembly: Arrow's elementwise join with
+        # null_handling='skip' reproduces the truncate-at-first-invalid
+        # semantics (invalid (-1) entries are a suffix: distances sort
+        # ascending and -1 only pads k > db rows) ~10x faster than the
+        # 100k-row python loop
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        valid = d >= 0
+        db_arr = pa.array(self.index.seqs, type=pa.string())
+        seq_cols, dist_cols = [], []
+        for c in range(d.shape[1]):
+            v = pa.array(valid[:, c])
+            idx = pc.if_else(v, pa.array(i[:, c].astype(np.int32)),
+                             pa.scalar(None, pa.int32()))
+            seq_cols.append(pc.take(db_arr, idx))
+            dist_cols.append(pc.if_else(
+                v, pc.cast(pa.array(d[:, c].astype(np.int32)), pa.string()),
+                pa.scalar(None, pa.string())))
+        # column 0 must never be null: the Arrow join DROPS (not
+        # empties) all-null rows, which would misalign the frame.  A
+        # row can only be all-invalid if d[:, 0] < 0, impossible for
+        # member queries (self-hit) — fill_null('') makes the length
+        # invariant unconditional anyway.
+        seq_cols[0] = pc.fill_null(seq_cols[0], "")
+        dist_cols[0] = pc.fill_null(dist_cols[0], "")
+        seq_strs = pc.binary_join_element_wise(
+            *seq_cols, ";", null_handling="skip")
+        dist_strs = pc.binary_join_element_wise(
+            *dist_cols, ";", null_handling="skip")
         return pd.DataFrame({
             "Guide sequence": list(seqs),
-            "Similar guides": seq_strs,
-            "Similar guide distances": dist_strs,
+            "Similar guides": seq_strs.to_pylist(),
+            "Similar guide distances": dist_strs.to_pylist(),
         })
 
     # ------------------------------------------------------------------
