@@ -250,33 +250,40 @@ class Annotation:
         def get_guide_hash(seq):
             return hashlib.md5(seq.encode()).hexdigest()
 
+        from ..util import substage_timer
         pretty_df = deepcopy(self.filtered_df)
-        # set-membership on host objects: Arrow isin hashes the whole
-        # million-entry passing set into an Arrow array first (~12 s)
-        pass_set = set(targetprocessor_object.passing_seqs())
-        seq_col = pretty_df["Guide sequence"].to_numpy()
-        keep = np.fromiter((s in pass_set for s in seq_col), dtype=bool,
-                           count=len(seq_col))
-        pretty_df = pretty_df[keep]
-        seq_list = pretty_df["Guide sequence"].tolist()
-        if seq_list:
-            from .. import dna
-            gcodes = dna.encode_batch(seq_list, len(seq_list[0]))
-            pretty_df["GC"] = ((gcodes == dna.G) | (gcodes == dna.C)) \
-                .mean(axis=1)
-        else:
-            pretty_df["GC"] = np.empty(0)
-        pretty_df["Guide name"] = [get_guide_hash(s) for s in seq_list]
-        pretty_df["Target strand"] = np.where(
-            pretty_df["Guide strand"] == pretty_df["Feature strand"],
-            "coding", "non-coding")
-        # similar-guide strings, built vectorized only for retained guides
-        need = pretty_df["Guide sequence"].unique()
-        simframe = targetprocessor_object.neighbor_frame(need)
-        pretty_df = pd.merge(pretty_df, simframe, how="left",
-                             on="Guide sequence")
+        with substage_timer("format: passing filter"):
+            # set-membership on host objects: Arrow isin hashes the whole
+            # million-entry passing set into an Arrow array first (~12 s)
+            pass_set = set(targetprocessor_object.passing_seqs())
+            seq_col = pretty_df["Guide sequence"].to_numpy()
+            keep = np.fromiter((s in pass_set for s in seq_col), dtype=bool,
+                               count=len(seq_col))
+            pretty_df = pretty_df[keep]
+        with substage_timer("format: gc+hash"):
+            seq_list = pretty_df["Guide sequence"].tolist()
+            if seq_list:
+                from .. import dna
+                gcodes = dna.encode_batch(seq_list, len(seq_list[0]))
+                pretty_df["GC"] = ((gcodes == dna.G) | (gcodes == dna.C)) \
+                    .mean(axis=1)
+            else:
+                pretty_df["GC"] = np.empty(0)
+            pretty_df["Guide name"] = [get_guide_hash(s) for s in seq_list]
+            pretty_df["Target strand"] = np.where(
+                pretty_df["Guide strand"] == pretty_df["Feature strand"],
+                "coding", "non-coding")
+        with substage_timer("format: neighbor frame"):
+            # similar-guide strings, built vectorized only for retained
+            need = pretty_df["Guide sequence"].unique()
+            simframe = targetprocessor_object.neighbor_frame(need)
+        with substage_timer("format: sim merge"):
+            pretty_df = pd.merge(pretty_df, simframe, how="left",
+                                 on="Guide sequence")
 
         targets = targetprocessor_object.targets
+        ctx = substage_timer("format: targets merge")
+        ctx.__enter__()
         # slim the right side to retained guides before the 4-key merge:
         # factorizing millions of unmatched string keys dominates merge().
         # The value set here is the ~10% retained guides, so Arrow isin
@@ -300,13 +307,16 @@ class Annotation:
             "Feature start", "Feature end", "Feature strand",
             "Feature distance", "Similar guides", "Similar guide distances",
             "target_seq30"]]
-        pretty_df = pretty_df.merge(self.qualifiers, how="left", on="Feature id")
-        pretty_df = pretty_df.sort_values(by=["Accession", "Feature start"])
-        # 1-based offset applied to start columns only (reference behavior)
-        pretty_df["Guide start"] = pretty_df["Guide start"] + 1
-        pretty_df["Feature start"] = pretty_df["Feature start"] + 1
-        pretty_df = pretty_df.loc[
-            pretty_df["target_seq30"].str.len() == 30]
+        ctx.__exit__(None, None, None)
+        with substage_timer("format: quals merge+sort"):
+            pretty_df = pretty_df.merge(self.qualifiers, how="left",
+                                        on="Feature id")
+            pretty_df = pretty_df.sort_values(by=["Accession", "Feature start"])
+            # 1-based offset applied to start columns only (reference behavior)
+            pretty_df["Guide start"] = pretty_df["Guide start"] + 1
+            pretty_df["Feature start"] = pretty_df["Feature start"] + 1
+            pretty_df = pretty_df.loc[
+                pretty_df["target_seq30"].str.len() == 30]
         self.pretty_df = pretty_df
 
     # ------------------------------------------------------------------

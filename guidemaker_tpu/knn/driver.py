@@ -56,22 +56,35 @@ def _default_backend() -> str:
 class KnnIndex:
     """An exact nearest-neighbor index over equal-length guide sequences."""
 
-    def __init__(self, seqs: Sequence[str], metric: str = "hamming",
+    def __init__(self, seqs, metric: str = "hamming",
                  backend: str = None, num_threads: int = 0):
         if len(seqs) == 0:
             raise ValueError("cannot build an index over zero sequences")
-        self.seqs: List[str] = list(seqs)
         self.metric = "hamming" if metric == "hamming" else "leven"
         self.backend = backend or _default_backend()
-        self.length = len(self.seqs[0])
-        for s in self.seqs:
-            if len(s) != self.length:
-                raise ValueError("all indexed sequences must share one length")
         self.num_threads = num_threads  # native backend only (0 = all cores)
         if self.backend != "native":
             from ..util import warm_d2h_channel
             warm_d2h_channel()  # start opening the d2h channel early
-        codes = dna.encode_batch(self.seqs, self.length)
+        if isinstance(seqs, (list, tuple)):
+            # string input: eager list, validated per row (original path)
+            self._seqs_list: List[str] = list(seqs)
+            self._seq_arr = None     # Arrow form built lazily on demand
+            self.length = len(self._seqs_list[0])
+            for s in self._seqs_list:
+                if len(s) != self.length:
+                    raise ValueError(
+                        "all indexed sequences must share one length")
+            codes = dna.encode_batch(self._seqs_list, self.length)
+        else:
+            # pandas / pyarrow column input: the codes come straight off
+            # the Arrow data buffer and the Python string list is only
+            # materialized if a caller asks for `.seqs` (the dict-shaped
+            # neighbors API) — saves ~2 s of join/encode at 1.16M guides
+            self._seqs_list = None
+            codes, self._seq_arr = dna.encode_pandas(seqs)
+            self.length = codes.shape[1]
+        self._n = codes.shape[0]
         self._codes = codes.astype(np.uint8)
         # the native engines pack 2 bits/base, which aliases INVALID=4
         # to 'A'; ambiguous-base guides must take the JAX paths (one-hot
@@ -83,6 +96,7 @@ class KnnIndex:
         self._db_packed_tile = None
         self._mesh = None     # device mesh (sharded backend, lazy)
         self._seqset = None   # frozenset(self.seqs), built on first use
+        self._dedup_ok = None  # Arrow-path dedup validity, built on first use
         # one lock for every lazy device-database init: the pipeline's
         # background control search calls into the index concurrently
         # with the main thread (pipeline.py launches it right after
@@ -91,17 +105,52 @@ class KnnIndex:
         import threading
         self._lazy_lock = threading.Lock()
 
-    def _counting_filter_valid(self, seqs: Sequence[str]) -> bool:
+    @property
+    def seqs(self) -> List[str]:
+        """Indexed sequences as a Python list (materialized lazily — the
+        pipeline's Arrow path never needs it; the dict-shaped neighbors
+        API does)."""
+        if self._seqs_list is None:
+            self._seqs_list = self._seq_arr.to_pylist()
+        return self._seqs_list
+
+    @property
+    def seq_array(self):
+        """Indexed sequences as a pyarrow StringArray (no Python
+        strings; built from the code matrix when the index was
+        constructed from a list)."""
+        if self._seq_arr is None:
+            import pyarrow as pa
+            arr = dna.rows_to_str_array(self._codes)
+            self._seq_arr = pa.array(arr, from_pandas=True)
+        return self._seq_arr
+
+    def _counting_filter_valid(self, seqs) -> bool:
         """True iff the counting retention shortcut is exact for these
         queries: the database must be duplicate-free and every query a
         member (so the self-hit contributes exactly one count).  Non-member
         queries or duplicated database entries fall back to the k=2 path,
         which implements the general semantics."""
+        if not isinstance(seqs, (list, tuple)):
+            # Arrow path: C++ hash kernels, no Python sets
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            if self._dedup_ok is None:
+                self._dedup_ok = bool(
+                    len(self.seq_array.unique()) == self._n)
+            if not self._dedup_ok:
+                return False
+            qa = seqs if isinstance(seqs, pa.Array) \
+                else pa.array(seqs, from_pandas=True)
+            if qa is self._seq_arr or len(qa) == 0:
+                return True
+            return bool(pc.all(pc.is_in(
+                qa, value_set=self.seq_array)).as_py())
         if self._seqset is None:
             self._seqset = frozenset(self.seqs)
-        if len(self._seqset) != len(self.seqs):
+        if len(self._seqset) != self._n:
             return False
-        if len(seqs) == len(self.seqs) and list(seqs) == self.seqs:
+        if len(seqs) == self._n and list(seqs) == self.seqs:
             return True
         return all(s in self._seqset for s in seqs)
 
@@ -112,7 +161,7 @@ class KnnIndex:
             with self._lazy_lock:
                 if self._db_packed is None:
                     from .pallas_packed import prepare_db_packed
-                    n2 = -(-len(self.seqs) // 2)
+                    n2 = -(-self._n // 2)
                     tile = min(
                         4096, max(128, 1 << int(max(n2, 2) - 1).bit_length()))
                     self._db_packed_tile = tile
@@ -138,7 +187,7 @@ class KnnIndex:
             with self._lazy_lock:
                 if self._db_dev is None:
                     from . import pallas_hamming as ph
-                    nd = len(self.seqs)
+                    nd = self._n
                     tile = min(want, max(128, 1 << int(nd - 1).bit_length()))
                     dev = ph.prepare_db_codes(self._codes, tile)
                     self._db_tile = tile   # publish tile BEFORE db_dev:
@@ -152,7 +201,7 @@ class KnnIndex:
             with self._lazy_lock:
                 if self._db_dev is None:
                     from .hamming import fit_tile, prepare_db
-                    tile = fit_tile(want, len(self.seqs))
+                    tile = fit_tile(want, self._n)
                     dev = prepare_db(self._onehot, tile)
                     self._db_tile = tile
                     self._db_dev = dev
@@ -168,10 +217,26 @@ class KnnIndex:
         return self._onehot_cache
 
     def __len__(self) -> int:
-        return len(self.seqs)
+        return self._n
 
-    def _encode_queries(self, seqs: Sequence[str]) -> np.ndarray:
-        return dna.encode_batch(seqs, self.length)
+    def _encode_queries(self, seqs) -> np.ndarray:
+        if isinstance(seqs, (list, tuple)):
+            return dna.encode_batch(seqs, self.length)
+        codes, _ = dna.encode_pandas(seqs, self.length)
+        return codes
+
+    def _seqs_equal_db(self, seqs) -> bool:
+        """Query batch == the whole database, in order (enables the
+        all-vs-all shortcuts that reuse the resident device database)."""
+        if isinstance(seqs, (list, tuple)):
+            return list(seqs) == self.seqs
+        if seqs is self._seq_arr:
+            return True
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        qa = seqs if isinstance(seqs, pa.Array) \
+            else pa.array(seqs, from_pandas=True)
+        return bool(pc.all(pc.equal(qa, self.seq_array)).as_py())
 
     def query(self, seqs: Sequence[str], k: int) -> Tuple[np.ndarray, np.ndarray]:
         """k nearest database entries for each query sequence.
@@ -216,8 +281,8 @@ class KnnIndex:
                     if getattr(self, "_leven_db", None) is None:
                         import jax.numpy as jnp
                         from .hamming import _pad_rows
-                        nd = len(self.seqs)
-                        tile = min(1024, max(
+                        nd = self._n
+                        tile = min(2048, max(
                             128, 1 << int(nd - 1).bit_length()))
                         self._leven_tile = tile
                         self._leven_db = jnp.asarray(
@@ -230,7 +295,7 @@ class KnnIndex:
             if native.available():
                 return native.hamming_topk(qc, self._codes, k,
                                            n_threads=self.num_threads)
-        nd = len(self.seqs)
+        nd = self._n
         if self.backend == "sharded":
             from .sharded import fused_sharded_topk
             return fused_sharded_topk(qc, self._sharded_db(), k)
@@ -278,7 +343,7 @@ class KnnIndex:
         """
         if len(seqs) == 0:
             return np.zeros(0, dtype=bool)
-        nd = len(self.seqs)
+        nd = self._n
         if nd < 2:
             # reference semantics: dists[1] is padding (-1) -> nothing passes
             return np.zeros(len(seqs), dtype=bool)
@@ -316,7 +381,7 @@ class KnnIndex:
             if _use_packed(self.length):
                 from .pallas_packed import packed_count_device
                 self._ensure_packed_db()
-                if len(seqs) == nd and list(seqs) == self.seqs:
+                if len(seqs) == nd and self._seqs_equal_db(seqs):
                     qc = self._codes        # all-vs-all: skip re-encoding
                 else:
                     qc = self._encode_queries(seqs)
@@ -330,7 +395,7 @@ class KnnIndex:
                     8192, max(128, 1 << int(nd - 1).bit_length()))
                 from . import pallas_hamming as ph
                 self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
-            if len(seqs) == nd and list(seqs) == self.seqs:
+            if len(seqs) == nd and self._seqs_equal_db(seqs):
                 # all-vs-all: reuse the resident database one-hot
                 counts = stream_count_device(
                     None, self._db_dev, nd, editdist, self.length,
@@ -373,7 +438,7 @@ class KnnIndex:
         import jax.numpy as jnp
         from ..util import fetch, warm_d2h_channel
         warm_d2h_channel(wait=True)
-        nd = len(self.seqs)
+        nd = self._n
         nq = int(codes.shape[0])
         if self.backend == "sharded":
             from .sharded import fused_sharded_count

@@ -175,14 +175,21 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
             anno = Annotation(annotation_list=cfg.gff,
                               annotation_type="gff", target_bed_df=tf_df)
         result.annotation = anno
+        from .util import substage_timer
         with stage_timer("annotation"):
-            anno.get_annotation_features(feature_types=cfg.feature_types)
+            with substage_timer("anno: parse features"):
+                anno.get_annotation_features(feature_types=cfg.feature_types)
             logger.info("Total number of %s in the input genome: %d",
                         *anno.locuslen())
-            anno._get_nearby_features()
-            anno._filter_features(before_feat=cfg.before, after_feat=cfg.into)
-            anno._get_qualifiers(configpath=cfg.config)
-            anno._format_guide_table(tl)
+            with substage_timer("anno: nearby join"):
+                anno._get_nearby_features()
+            with substage_timer("anno: filter clauses"):
+                anno._filter_features(before_feat=cfg.before,
+                                      after_feat=cfg.into)
+            with substage_timer("anno: qualifiers"):
+                anno._get_qualifiers(configpath=cfg.config)
+            with substage_timer("anno: format table"):
+                anno._format_guide_table(tl)
         prettydf = anno._filterlocus(cfg.attribute_key, cfg.filter_by_attribute)
 
         if cfg.doench_efficiency_score:

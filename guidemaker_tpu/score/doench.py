@@ -131,10 +131,13 @@ def predict(seq: np.ndarray, model_file: Optional[str] = None,
     if model_metadata is not None:
         with open(model_metadata) as f:
             json.load(f)  # accepted for API parity; all feature sets are built
+    from ..util import substage_timer
     ens = load_ensemble(model_file)
-    feats = featurize(list(seq), pam_audit=pam_audit)
+    with substage_timer("doench: featurize"):
+        feats = featurize(list(seq), pam_audit=pam_audit)
     from .doench_features import INT_FEATURE_MASK
-    return ensemble_predict(ens, feats, int_col=INT_FEATURE_MASK)
+    with substage_timer("doench: tree descent"):
+        return ensemble_predict(ens, feats, int_col=INT_FEATURE_MASK)
 
 
 def get_doench_efficiency_score(df, pam_orientation, num_threads=1):

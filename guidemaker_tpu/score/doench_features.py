@@ -81,8 +81,12 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
     # _nuc_pd_Order1 @ [0:120): one-hot, 4 cols per position
     out[rows, np.tile(np.arange(30), n) * 4 + atcg.reshape(-1)] = 1.0
 
-    # _nuc_pi_Order1 @ [120:124): counts
-    np.add.at(out, (rows, 120 + atcg.reshape(-1)), 1.0)
+    # _nuc_pi_Order1 @ [120:124): counts — bincount over flattened
+    # (row, base) bins; np.add.at is a buffered scatter measured several
+    # times slower than this at 100k+ rows
+    out[:, 120:124] = np.bincount(
+        (np.arange(n)[:, None] * 4 + atcg).reshape(-1),
+        minlength=4 * n).reshape(n, 4)
 
     # dinucleotide index in product('ATCG', repeat=2) order
     d2 = atcg[:, :-1] * 4 + atcg[:, 1:]               # (n, 29)
@@ -91,8 +95,10 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
     # _nuc_pd_Order2 @ [124:588): one-hot, 16 cols per position
     out[rows29, 124 + np.tile(np.arange(29), n) * 16 + d2.reshape(-1)] = 1.0
 
-    # _nuc_pi_Order2 @ [588:604): counts
-    np.add.at(out, (rows29, 588 + d2.reshape(-1)), 1.0)
+    # _nuc_pi_Order2 @ [588:604): counts (bincount, as above)
+    out[:, 588:604] = np.bincount(
+        (np.arange(n)[:, None] * 16 + d2).reshape(-1),
+        minlength=16 * n).reshape(n, 16)
 
     # GC features over the 20-mer [4:24] @ [604:607)
     gc_count = ((codes[:, 4:24] == dna.G) | (codes[:, 4:24] == dna.C)) \

@@ -172,7 +172,11 @@ class TargetProcessor:
         if configpath is not None:
             with open(configpath) as cf:
                 yaml.safe_load(cf)  # validated for parity; no knobs needed
-        notduplicated_targets = pd.unique(self.targets["target"]).tolist()
+        # Arrow-native dedup + encode: pd.unique keeps first-occurrence
+        # order (the determinism fix vs the reference's set()) and the
+        # index encodes straight off the Arrow buffer — no Python string
+        # list is ever built (was ~2 s of the index-build stage at 1.16M)
+        notduplicated_targets = pd.unique(self.targets["target"])
         metric = str(self.targets["dtype"].iat[0])
         metric = "hamming" if metric == "hamming" else "leven"
         logger.info("Building exact %s k-NN index over %d unique targets",
@@ -192,9 +196,10 @@ class TargetProcessor:
         """
         mask = ((self.targets["isseedduplicated"] == False)  # noqa: E712
                 | (self.targets["hasrestrictionsite"] == False))  # noqa: E712
-        unique_targets = self.targets.loc[mask]["target"].tolist()
-        # dedup queries (dict semantics collapse duplicates anyway)
-        query_seqs = list(dict.fromkeys(unique_targets))
+        # Arrow-native query prep: drop_duplicates keeps first occurrence
+        # (same semantics as the old dict.fromkeys over a Python list,
+        # without materializing 1.16M strings)
+        query_seqs = self.targets.loc[mask, "target"].drop_duplicates()
         # Phase 1 — retention decision only (a counting kernel on the
         # streaming TPU path: one VPU pass per pair instead of k merge
         # passes).  The k-NN lists themselves are computed lazily, and
@@ -203,8 +208,8 @@ class TargetProcessor:
         pass_mask = self.index.pass_distance_filter(query_seqs,
                                                     self.editdist)
         self._neighbors_cache = None
-        qarr = np.asarray(query_seqs, dtype=object)
-        self._nb_pass_seqs = qarr[pass_mask].tolist()
+        # only the ~10% passers are materialized as Python strings
+        self._nb_pass_seqs = query_seqs[np.asarray(pass_mask)].tolist()
         self._nb_dists = None   # lazy; see _neighbor_arrays()
         self._nb_idxs = None
         logger.info("%d of %d queried targets passed the distance filter",
@@ -282,6 +287,7 @@ class TargetProcessor:
         (core.py:929-931) but only materializes strings for the guides
         that survive annotation filtering.
         """
+        from .util import substage_timer
         seqs = list(seqs)
         if self._nb_dists is not None:
             pos = pd.Index(self._nb_pass_seqs).get_indexer(seqs)
@@ -292,7 +298,8 @@ class TargetProcessor:
             i = self._nb_idxs[pos]
         else:
             # lazy phase 2: k-NN lists only for the guides actually kept
-            d, i = self.index.query(seqs, k=self.knum)
+            with substage_timer("nbframe: phase-2 query"):
+                d, i = self.index.query(seqs, k=self.knum)
         # vectorized ';' assembly: Arrow's elementwise join with
         # null_handling='skip' reproduces the truncate-at-first-invalid
         # semantics (invalid (-1) entries are a suffix: distances sort
@@ -300,8 +307,14 @@ class TargetProcessor:
         # 100k-row python loop
         import pyarrow as pa
         import pyarrow.compute as pc
+        ctx = substage_timer("nbframe: arrow assembly")
+        ctx.__enter__()
         valid = d >= 0
-        db_arr = pa.array(self.index.seqs, type=pa.string())
+        db_arr = self.index.seq_array   # Arrow, no Python strings
+        if pa.types.is_large_string(db_arr.type):
+            # the ';' literal below binds as `string`; the elementwise
+            # join kernel wants uniform types
+            db_arr = db_arr.cast(pa.string())
         seq_cols, dist_cols = [], []
         for c in range(d.shape[1]):
             v = pa.array(valid[:, c])
@@ -322,6 +335,7 @@ class TargetProcessor:
             *seq_cols, ";", null_handling="skip")
         dist_strs = pc.binary_join_element_wise(
             *dist_cols, ";", null_handling="skip")
+        ctx.__exit__(None, None, None)
         return pd.DataFrame({
             "Guide sequence": list(seqs),
             "Similar guides": seq_strs.to_pylist(),

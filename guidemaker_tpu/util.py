@@ -167,6 +167,19 @@ def stage_timer(name: str):
 
 
 @contextlib.contextmanager
+def substage_timer(name: str):
+    """Like :func:`stage_timer` but tagged ``[sub]`` — fine-grained timings
+    inside a stage, for profiling; bench.py's stage grabber matches the
+    ``[stage]`` tag only, so sub-stages never pollute the artifact's
+    stage table."""
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        logger.info("[sub] %-32s %8.3f s", name, time.time() - t0)
+
+
+@contextlib.contextmanager
 def maybe_profile(trace_dir: str = None):
     """Wrap a block in a JAX profiler trace when a directory is given."""
     if not trace_dir:
