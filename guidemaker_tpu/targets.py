@@ -62,6 +62,12 @@ def _device_sampler():
     return _SAMPLER
 
 
+#: chunks triaged per device round in the control search — the
+#: early-exit granularity (each TPU chunk is ~0.5 s of counting at
+#: genome scale; a group of 2 keeps the dispatch pipeline full while
+#: letting the search stop within ~1 s of covering n)
+_TRIAGE_GROUP = 2
+
 #: max passers gathered per triage chunk through the fixed-shape take
 #: (pass rates on a successful rung sit near n/m ~ 1e-4, so a 2^19-row
 #: chunk carries ~50-500 passers; a chunk exceeding the cap falls back
@@ -458,15 +464,22 @@ class TargetProcessor:
         * each rung is triaged by the counting kernel: a candidate passes
           iff count(dist < MINIMUM_HMDIST) == 0 <=> nearest >= target, one
           VPU pass per pair and a 1-byte-per-candidate result transfer;
-        * exact nearest distances are then computed only for the passers
-          (the reference ranks its keepers by exact distance — on a
-          successful rung the top-n most distant ARE passers, so the
-          selection is identical to the reference's sort-all-then-take-n);
-        * on a Levenshtein index the counting triage is still sound
-          (leven <= hamming, so a close Hamming hit proves a close
-          Levenshtein hit); survivors get exact leven k=1 distances and
-          the final min >= target check enforces the exact semantics;
-        * the native backend falls back to exact k=1 for the whole rung.
+        * verified passers ACCUMULATE across chunks and rungs (round-5
+          divergence, documented in PARITY.md: the reference re-samples
+          every rung from scratch and ranks one rung's pool; here a rung
+          that found 600/1000 keepers contributes them instead of being
+          discarded, and the search stops at the first chunk where the
+          accumulated count reaches ``n`` — the escalation schedule
+          survives only as the sampling budget ``n * multiples[-1]``);
+        * exact nearest distances are computed only for the passers, and
+          selection is still "the n most distant verified candidates";
+        * on a Levenshtein index the counting triage is sound but
+          optimistic (leven <= hamming), so passers are verified with
+          exact k=1 distances and the failures dropped before counting
+          toward ``n``;
+        * backends without the fixed-shape chunk triage fall back to a
+          rung-sized mask (or exact k=1 for the native engine), with the
+          same accumulation semantics.
         """
         import jax
         import jax.numpy as jnp
@@ -480,14 +493,41 @@ class TargetProcessor:
             [gc / 2, gc / 2, (1 - gc) / 2, (1 - gc) / 2], jnp.float32))
 
         sample_codes = _device_sampler()
-        # candidates are sampled in FIXED-SHAPE chunks so every rung's
-        # triage (and the prewarm) reuses one sampler executable and one
+        # candidates are sampled in FIXED-SHAPE chunks so every triage
+        # group (and the prewarm) reuses one sampler executable and one
         # counting executable — on tunneled backends each distinct
         # program shape costs a multi-second upload, and the ladder's
         # four rung sizes used to pay it four times (~12 s of a ~27 s
         # search).  Chunking also bounds head-of-line blocking of the
-        # concurrent annotation/scoring stages' device work.
+        # concurrent annotation/scoring stages' device work, and it is
+        # the early-exit granularity: chunks are triaged in groups of
+        # ``_TRIAGE_GROUP`` and the search returns as soon as the
+        # verified-passer pool covers n.
         chunk = _control_chunk_rows()
+
+        acc: List[np.ndarray] = []    # verified passer codes so far
+        acc_dist: List[np.ndarray] = []   # their exact nearest distances
+        acc_n = 0
+        searched = 0
+
+        def verify(pc):
+            """Exact k=1 distances; keep only true >= target passers."""
+            nonlocal acc_n
+            dists, _ = self.index.query_codes(pc, k=1)
+            nearest = dists[:, 0].astype(np.int64)
+            keep = nearest >= minimum_hmdist_target
+            if keep.any():
+                acc.append(pc[keep])
+                acc_dist.append(nearest[keep])
+                acc_n += int(keep.sum())
+
+        def result(search_mult):
+            pc_all = np.concatenate(acc)
+            nearest = np.concatenate(acc_dist)
+            order = np.argsort(-nearest, kind="stable")[:n]
+            sort_dist = [float(nearest[i]) for i in order]
+            sort_seq = dna.decode_rows(pc_all[order])
+            return sort_seq, sort_dist, search_mult, searched
 
         search_mult = 0
         for rung, search_mult in enumerate(multiples):
@@ -495,59 +535,71 @@ class TargetProcessor:
             m = n * search_mult
             rkey = jax.random.fold_in(key, rung)
             nchunks = -(-m // chunk)
-            chunks = [sample_codes(jax.random.fold_in(rkey, c), cum,
-                                   m=chunk, length=length)
-                      for c in range(nchunks)]
-            # triage transfer: one uint8/candidate in a single fetch —
-            # all chunk dispatches are async, so the tunnel RTT is paid
-            # once per rung, not once per chunk
-            pm = self.index.pass_mask_chunks(chunks, minimum_hmdist_target)
-            codes_dev = None
-            if pm is not None:
-                pm = pm[:m]     # tail rows of the last chunk pad the shape
-            else:               # packed/non-pallas backends: monolithic path
+            c0 = 0
+            chunked_ok = True
+            while c0 < nchunks:
+                grp = list(range(c0, min(c0 + _TRIAGE_GROUP, nchunks)))
+                chunks = [sample_codes(jax.random.fold_in(rkey, c), cum,
+                                       m=chunk, length=length)
+                          for c in grp]
+                # triage transfer: one uint8/candidate in a single fetch —
+                # chunk dispatches are async, so the tunnel RTT is paid
+                # once per group, not once per chunk
+                pm = self.index.pass_mask_chunks(chunks,
+                                                 minimum_hmdist_target)
+                if pm is None:
+                    chunked_ok = False
+                    break
+                valid = min(len(grp) * chunk, m - c0 * chunk)
+                passers = np.flatnonzero(pm[:valid])
+                searched += valid
+                c0 += len(grp)
+                if passers.size == 0:
+                    continue
+                pc = self._gather_chunk_passers(chunks, passers)
+                if pc is None:
+                    # >cap passers in one chunk (tiny rungs with huge
+                    # pass rates): materialize the group matrix once
+                    dev = (chunks[0] if len(chunks) == 1
+                           else jnp.concatenate(chunks))[:valid]
+                    pc = fetch(jnp.take(dev, jnp.asarray(passers), axis=0))
+                verify(pc)
+                if acc_n >= n:
+                    logger.debug(
+                        "control search: %d verified passers from %d "
+                        "candidates (early exit inside rung %d, %.2fs)",
+                        acc_n, searched, rung, time.time() - t_rung)
+                    return result(search_mult)
+            if not chunked_ok:
+                # packed/xla/native backends: monolithic rung mask (or
+                # exact k=1 when counting is unsupported), same
+                # accumulation and early-exit semantics per rung
                 codes_dev = (chunks[0] if nchunks == 1
-                             else jnp.concatenate(chunks))[:m]
+                             else jnp.concatenate(
+                                 [sample_codes(jax.random.fold_in(rkey, c),
+                                               cum, m=chunk, length=length)
+                                  for c in range(nchunks)]))[:m]
                 pm = self.index.pass_mask_within(codes_dev,
                                                  minimum_hmdist_target,
                                                  chunk=max(chunk, 1 << 21))
-            t_triage = time.time()
-            if pm is not None:
-                passers = np.flatnonzero(pm)
-                if passers.size < n:
-                    logger.debug("control rung %d (m=%d): %d passers < n "
-                                 "after %.2fs triage; escalating", rung, m,
-                                 passers.size, t_triage - t_rung)
-                    continue          # rung failed; escalate
-                if codes_dev is None:
-                    pc = self._gather_chunk_passers(chunks, passers)
-                if codes_dev is None and pc is None:
-                    # >cap passers in one chunk (tiny rungs with huge
-                    # pass rates): materialize the rung matrix once
-                    codes_dev = (chunks[0] if nchunks == 1
-                                 else jnp.concatenate(chunks))[:m]
-                if codes_dev is not None:
-                    pc = fetch(jnp.take(codes_dev, jnp.asarray(passers),
-                                        axis=0))
-                # exact distances only for the passers (the query path
-                # pow2-buckets its batch internally); padding to the rung
-                # size would push up to m >> n rows through the top-k
-                # kernel for a ~n-row answer
-                dists, _ = self.index.query_codes(pc, k=1)
-                nearest = dists[:, 0].astype(np.int64)
-            else:                     # leven / native: exact full rung
-                pc = fetch(codes_dev)
-                dists, _ = self.index.query_codes(pc, k=1)
-                nearest = dists[:, 0].astype(np.int64)
-            logger.debug("control rung %d (m=%d): triage %.2fs, exact k=1 "
-                         "for %d passers %.2fs", rung, m,
-                         t_triage - t_rung, pc.shape[0],
-                         time.time() - t_triage)
-            order = np.argsort(-nearest, kind="stable")[:n]
-            sort_dist = [float(nearest[i]) for i in order]
-            if int(min(sort_dist)) >= minimum_hmdist_target:
-                sort_seq = dna.decode_rows(pc[order])
-                return sort_seq, sort_dist, search_mult
+                searched += m
+                if pm is not None:
+                    passers = np.flatnonzero(pm)
+                    if passers.size:
+                        verify(fetch(jnp.take(codes_dev,
+                                              jnp.asarray(passers),
+                                              axis=0)))
+                else:               # native: exact k=1 for the whole rung
+                    verify(fetch(codes_dev))
+                if acc_n >= n:
+                    logger.debug("control search: %d verified passers from "
+                                 "%d candidates (rung %d, %.2fs)",
+                                 acc_n, searched, rung,
+                                 time.time() - t_rung)
+                    return result(search_mult)
+            logger.debug("control rung %d (m=%d): %d/%d verified passers "
+                         "after %.2fs; escalating", rung, m, acc_n, n,
+                         time.time() - t_rung)
         raise IndexError(
             "Could not find controls with minimum distance %d even with "
             "a search pool of %d" % (minimum_hmdist_target, n * search_mult))
@@ -660,10 +712,13 @@ class TargetProcessor:
             th.join(timeout=600)   # let the program loads finish cleanly
         logger.debug("control search: GC pass %.2fs, prewarm join %.2fs",
                      t_gc - t0, time.time() - t_gc)
-        sort_seq, sort_dist, search_mult = self._control_search(
+        sort_seq, sort_dist, search_mult, searched = self._control_search(
             gc, length, n, multiples, minimum_hmdist_target, seed)
 
-        self.ncontrolsearched = search_mult * n
+        # actual candidates triaged (the reference reports the successful
+        # rung's nominal pool size; with cross-rung accumulation + early
+        # exit the honest figure is the number actually drawn)
+        self.ncontrolsearched = searched
         randomdf = pd.DataFrame(
             data={"Sequences": sort_seq, "Hamming distance": sort_dist})
         randomdf["name"] = randomdf["Sequences"].apply(
