@@ -208,11 +208,13 @@ def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=3):
     return float(per_run), compile_s
 
 
-def run_e2e(stages: dict, *, controls=1000, seed=42):
+def run_e2e(stages: dict, *, controls=1000, seed=42, dtype="hamming"):
     """Full-pipeline wall time on P. aeruginosa (the reference's headline
     workload: README.md:15 '1-2 minutes on a laptop' for a typical
     bacterial genome), with the per-stage breakdown captured from the
-    pipeline's stage timers."""
+    pipeline's stage timers.  ``dtype`` selects the guide metric — the
+    reference treats hamming and leven as co-equal modes (core.py:459-467),
+    so both get a measured end-to-end here."""
     import logging
 
     from guidemaker_tpu.pipeline import PipelineConfig, run_pipeline
@@ -233,7 +235,7 @@ def run_e2e(stages: dict, *, controls=1000, seed=42):
         genbank=[os.path.join(REPO, "guidemaker_tpu", "data",
                               "Pseudomonas_aeruginosa.gbk.gz")],
         pamseq="NGG", pam_orientation="3prime", guidelength=20, lsr=10,
-        dtype="hamming", dist=2, before=100, into=200, knum=3,
+        dtype=dtype, dist=2, before=100, into=200, knum=3,
         controls=controls, threads=2, doench_efficiency_score=True,
         cfd_score=True, outdir=out, seed=seed)
     from guidemaker_tpu.util import channel_wait_seconds

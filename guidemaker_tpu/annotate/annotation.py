@@ -284,23 +284,38 @@ class Annotation:
         targets = targetprocessor_object.targets
         ctx = substage_timer("format: targets merge")
         ctx.__enter__()
-        # slim the right side to retained guides before the 4-key merge:
-        # factorizing millions of unmatched string keys dominates merge().
-        # The value set here is the ~10% retained guides, so Arrow isin
-        # is the right tool (C++ hash scan of the million-row column; the
-        # pass_set membership above goes the other way — a million-entry
-        # set against a 100k column — where building the Arrow value set
-        # dominates and fromiter wins)
+        # positional mapping instead of the reference's 4-key string
+        # merge: a PAM target is uniquely identified by
+        # (accession, start, strand) — the sequence/stop keys of the
+        # reference merge are redundant — so the "merge" is one int64
+        # get_indexer + three column takes.  Equivalent to the old
+        # how="left" merge (targets rows are unique on the key; missing
+        # keys, impossible for rows that came from export_bed, would map
+        # to NaN exactly as a left join does).
         t_keep = targets["target"].isin(need).to_numpy()
-        targets = targets[t_keep].copy()
-        targets["start"] = targets["start"].astype(np.int64)
-        targets["stop"] = targets["stop"].astype(np.int64)
-        targets["seqid"] = targets["seqid"].astype(str)
-        pretty_df = pd.merge(
-            pretty_df, targets, how="left",
-            left_on=["Guide sequence", "Guide start", "Guide end", "Accession"],
-            right_on=["target", "start", "stop", "seqid"])
-        pretty_df = pretty_df.rename(columns={"exact_pam": "PAM"})
+        targets = targets[t_keep]
+        acc_cats = pd.Index(pd.unique(targets["seqid"].astype(str)))
+        t_acc = acc_cats.get_indexer(targets["seqid"].astype(str))
+        t_strand = targets["strand"].to_numpy().astype(np.int64)
+        t_key = ((t_acc.astype(np.int64) << 34)
+                 | (targets["start"].to_numpy(np.int64) << 1) | t_strand)
+        p_acc_map = acc_cats.get_indexer(
+            pretty_df["Accession"].cat.categories)
+        p_acc = p_acc_map[pretty_df["Accession"].cat.codes.to_numpy()]
+        p_strand = (pretty_df["Guide strand"].to_numpy() == "+") \
+            .astype(np.int64)
+        p_key = ((p_acc.astype(np.int64) << 34)
+                 | (pretty_df["Guide start"].to_numpy(np.int64) << 1)
+                 | p_strand)
+        pos = pd.Index(t_key).get_indexer(p_key)
+        hit = pos >= 0
+        for src, dst in (("dtype", "dtype"), ("exact_pam", "PAM"),
+                         ("target_seq30", "target_seq30")):
+            col = targets[src].to_numpy()[np.where(hit, pos, 0)]
+            vals = pd.array(col, dtype=targets[src].dtype)
+            if not hit.all():                 # left-join NaN semantics
+                vals[~hit] = None
+            pretty_df[dst] = vals
         pretty_df = pretty_df[[
             "Guide name", "Guide sequence", "GC", "dtype", "Accession",
             "Guide start", "Guide end", "Guide strand", "PAM", "Feature id",

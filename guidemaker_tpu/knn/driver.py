@@ -282,13 +282,24 @@ class KnnIndex:
                         import jax.numpy as jnp
                         from .hamming import _pad_rows
                         nd = self._n
-                        tile = min(2048, max(
+                        tile = min(4096, max(
                             128, 1 << int(nd - 1).bit_length()))
                         self._leven_tile = tile
                         self._leven_db = jnp.asarray(
                             _pad_rows(self._codes, tile))
             return leven_topk(qc, self._codes, k, db_tile=self._leven_tile,
                               db_dev=self._leven_db)
+        return self.hamming_query_codes(qc, k)
+
+    def hamming_query_codes(self, qc: np.ndarray,
+                            k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact HAMMING k-NN on pre-encoded codes, regardless of the
+        index metric — the 2-bit code database is metric-agnostic, so a
+        Levenshtein index answers Hamming queries for free.  Used by the
+        control-guide search, whose distance rule is Hamming by
+        definition (config key ``MINIMUM_HMDIST``; the controls table's
+        reported column is literally "Hamming distance")."""
+        qc = np.asarray(qc, dtype=np.uint8)
         if (self.backend == "native" and not self._codes_ambiguous
                 and not (qc >= 4).any()):
             from .. import native

@@ -174,7 +174,7 @@ _TOPK_CHUNK = 8192
 
 
 def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
-               db_tile: int = 2048, q_tile: int = 1024, idx_offset: int = 0,
+               db_tile: int = 4096, q_tile: int = 1024, idx_offset: int = 0,
                db_dev=None, chunk: int = _TOPK_CHUNK, engine: str = "myers"):
     """Exact k smallest Levenshtein distances per query (see hamming_topk).
 

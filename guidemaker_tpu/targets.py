@@ -402,10 +402,10 @@ class TargetProcessor:
                     # successful rung); also warm rung-0's full-batch
                     # shape, which the monolithic fallback queries
                     warm_rows = max(128, 1 << (4 * n - 1).bit_length())
-                    self.index.query_codes(
+                    self.index.hamming_query_codes(
                         np.zeros((warm_rows, length), np.uint8), k=1)
                     if n * mult0 <= chunk:
-                        self.index.query_codes(
+                        self.index.hamming_query_codes(
                             np.zeros((n * mult0, length), np.uint8), k=1)
             except Exception:   # prewarm is best-effort only
                 logger.debug("control prewarm failed", exc_info=True)
@@ -511,9 +511,17 @@ class TargetProcessor:
         searched = 0
 
         def verify(pc):
-            """Exact k=1 distances; keep only true >= target passers."""
+            """Exact HAMMING k=1 distances; keep only >= target passers.
+
+            The control rule is Hamming by definition — the config key
+            is ``MINIMUM_HMDIST`` and the reported column is "Hamming
+            distance" — so a Levenshtein run screens its controls by the
+            same rule (the reference quirk of ranking by its leven
+            index's distances makes genome-scale leven runs exhaust the
+            ladder: measured <1000 leven>=7 candidates in 11.1M draws on
+            P. aeruginosa; documented divergence, PARITY.md)."""
             nonlocal acc_n
-            dists, _ = self.index.query_codes(pc, k=1)
+            dists, _ = self.index.hamming_query_codes(pc, k=1)
             nearest = dists[:, 0].astype(np.int64)
             keep = nearest >= minimum_hmdist_target
             if keep.any():
