@@ -470,13 +470,13 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     matrices are built on device from 2-bit codes, and every counting /
     top-k / DP dispatch is chunked and pow2-bucketed.
 
-    ``mesh``: when given, the O(nq x nd) counting pass runs sharded —
-    database features over the ``d`` mesh axis, queries over ``q``,
-    partial counts merged with one ``psum`` (knn/sharded.py; the count
-    rule is metric-agnostic matmul thresholding, so the hamming sharded
-    counter evaluates the gram features unchanged).  The verification
-    tiers stay single-device: they touch candidate pairs, not the n^2
-    pair space.
+    ``mesh``: when given, EVERY tier runs over the mesh (round 5): the
+    O(nq x nd) counting passes (tier 1 and the direction-2 prune) shard
+    database features over ``d`` and queries over ``q`` with one
+    ``psum`` merge; candidate extraction uses the sharded bf16 top-k;
+    banded verification shards its pair rows over all devices
+    (sharded.sharded_banded_pairs, no collectives); and the full-DP
+    residue runs the sharded Levenshtein top-k.
     """
     from .pallas_hamming import (_onehot_on_device, _pad_code_rows,
                                  bucket_rows, clamp_tiles)
@@ -611,38 +611,52 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
         small k of neighbor lists — at k = 16 its VMEM working set
         faulted the kernel at genome scale and its Mosaic compile ran
         for minutes, while the XLA merge compiles in seconds and top_k
-        is a tested primitive."""
-        from .hamming import _topk_all
-        df_bf = df_dev.astype(jnp.bfloat16)
-        # chunked dispatches: one monolithic program over a large
-        # candidate set can run past the TPU executor watchdog, which
-        # kills the worker process (observed at ~1M ambiguous queries)
-        chunk = 65536
-        cand_parts = []
-        for lo in range(0, idxs.size, chunk):
-            pos = qf_pos[lo:lo + chunk]
-            qa_feat = jnp.take(qf_dev, jnp.asarray(pos),
-                               axis=0).astype(jnp.bfloat16)
-            na_pad = bucket_rows(pos.size, 256)
-            if qa_feat.shape[0] < na_pad:
-                qa_feat = jnp.pad(qa_feat,
-                                  ((0, na_pad - qa_feat.shape[0]), (0, 0)))
-            keys = _topk_all(qa_feat, df_bf, jnp.int32(nd), jnp.int32(0),
-                             k=k_eff, length=glen,
-                             db_tile=min(db_tile, 2048), q_tile=256)
-            cand_parts.append(fetch(keys[:pos.size, :k_eff]))
-        _, cand = unpack_keys(np.concatenate(cand_parts))
+        is a tested primitive.  With a ``mesh``, extraction runs the
+        sharded bf16 tier and the banded verification shards row-wise
+        over every device (sharded.sharded_banded_pairs) — the whole
+        tier cascade scales with the mesh, not just the counting pass.
+        """
+        if mesh is not None:
+            from .sharded import sharded_hamming_topk
+            _, cand = sharded_hamming_topk(
+                np.asarray(qf_dev)[qf_pos], np.asarray(df_dev),
+                k_eff, glen, mesh=mesh, db_tile=min(db_tile, 2048))
+        else:
+            from .hamming import _topk_all
+            df_bf = df_dev.astype(jnp.bfloat16)
+            # chunked dispatches: one monolithic program over a large
+            # candidate set can run past the TPU executor watchdog, which
+            # kills the worker process (observed at ~1M ambiguous queries)
+            chunk = 65536
+            cand_parts = []
+            for lo in range(0, idxs.size, chunk):
+                pos = qf_pos[lo:lo + chunk]
+                qa_feat = jnp.take(qf_dev, jnp.asarray(pos),
+                                   axis=0).astype(jnp.bfloat16)
+                na_pad = bucket_rows(pos.size, 256)
+                if qa_feat.shape[0] < na_pad:
+                    qa_feat = jnp.pad(
+                        qa_feat, ((0, na_pad - qa_feat.shape[0]), (0, 0)))
+                keys = _topk_all(qa_feat, df_bf, jnp.int32(nd), jnp.int32(0),
+                                 k=k_eff, length=glen,
+                                 db_tile=min(db_tile, 2048), q_tile=256)
+                cand_parts.append(fetch(keys[:pos.size, :k_eff]))
+            _, cand = unpack_keys(np.concatenate(cand_parts))
         qa = np.repeat(q_codes[idxs], k_eff, axis=0)
         ca = db_codes[np.clip(cand, 0, nd - 1)].reshape(-1, length)
-        # pow2-bucketed pair batch: every novel batch size would otherwise
-        # compile a fresh banded program (INVALID padding rows compare
-        # equal -> dist 0, sliced off below)
         n_pairs = qa.shape[0]
-        qa = _pad_code_rows(qa, bucket_rows(n_pairs, 128))
-        ca = _pad_code_rows(ca, qa.shape[0])
-        bd = fetch(banded_leven_pairs(jnp.asarray(qa), jnp.asarray(ca),
-                                      t=t, length=length))[:n_pairs]
-        bd = bd.reshape(idxs.size, k_eff)
+        if mesh is not None:
+            from .sharded import sharded_banded_pairs
+            bd = sharded_banded_pairs(qa, ca, t=t, length=length, mesh=mesh)
+        else:
+            # pow2-bucketed pair batch: every novel batch size would
+            # otherwise compile a fresh banded program (INVALID padding
+            # rows compare equal -> dist 0, sliced off below)
+            qa = _pad_code_rows(qa, bucket_rows(n_pairs, 128))
+            ca = _pad_code_rows(ca, qa.shape[0])
+            bd = fetch(banded_leven_pairs(jnp.asarray(qa), jnp.asarray(ca),
+                                          t=t, length=length))[:n_pairs]
+        bd = bd[:n_pairs].reshape(idxs.size, k_eff)
         # dist 0 <=> identical <=> self (db is deduplicated; queries are
         # members); any other candidate closer than e fails retention
         return ((bd > 0) & (bd < e) & (cand >= 0)).any(axis=1)
@@ -673,10 +687,16 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
             rest_pad = _pad_code_rows(
                 q_codes[rest], bucket_rows(rest.size, min(q_tile, 256)))
             q_dil = _gram_feats_on_device(jnp.asarray(rest_pad), t=t)
-            counts2 = fetch(_stream_count(
-                q_dil, db_oh, length=glen, editdist=p_edit,
-                q_tile=min(q_tile, 256), db_tile=db_tile_g,
-                interpret=interpret)[:rest.size, 0])
+            if mesh is not None:
+                from .sharded import sharded_hamming_count
+                counts2 = sharded_hamming_count(
+                    np.asarray(q_dil)[:rest.size], np.asarray(db_oh),
+                    editdist=p_edit, length=glen, mesh=mesh)[:rest.size]
+            else:
+                counts2 = fetch(_stream_count(
+                    q_dil, db_oh, length=glen, editdist=p_edit,
+                    q_tile=min(q_tile, 256), db_tile=db_tile_g,
+                    interpret=interpret)[:rest.size, 0])
             passed[rest[counts2 <= 1]] = True
             sel2 = np.flatnonzero(counts2 >= 2)
             logger.debug("leven filter tier-3: %d rest, %d still ambiguous "
@@ -693,7 +713,13 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
                                  "exact full-DP", over.size)
                     # Tier 4 — exact full-DP k=2 for the residue (both
                     # directions ambiguous, no proven close neighbor);
-                    # chunked dispatches, see leven_topk
-                    d2, _ = leven_topk(q_codes[over], db_codes, 2)
+                    # chunked dispatches, see leven_topk; query-sharded
+                    # over the mesh when one is given
+                    if mesh is not None:
+                        from .sharded import sharded_leven_topk
+                        d2, _ = sharded_leven_topk(q_codes[over], db_codes,
+                                                   2, mesh=mesh)
+                    else:
+                        d2, _ = leven_topk(q_codes[over], db_codes, 2)
                     passed[over] = (d2[:, 1] >= 0) & (d2[:, 1] >= e)
     return passed

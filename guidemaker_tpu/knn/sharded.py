@@ -500,6 +500,31 @@ def sharded_leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
     return dist, idx
 
 
+def sharded_banded_pairs(qa: np.ndarray, ca: np.ndarray, *, t: int,
+                         length: int, mesh: Mesh) -> np.ndarray:
+    """Row-paired banded Levenshtein over the whole mesh.
+
+    Verification pairs are embarrassingly parallel, so rows shard over
+    BOTH mesh axes (q x d flattened) — every chip runs the same banded
+    kernel on its row slice with no collectives at all.  Contract
+    matches leven.banded_leven_pairs (exact for true distance <= t,
+    t + 1 beyond the band; identical padding rows compare to 0 and are
+    sliced off by the caller).
+    """
+    from .leven import banded_leven_pairs
+    n = qa.shape[0]
+    ndev = int(mesh.devices.size)
+    qa = _pad_rows(np.asarray(qa), ndev)
+    ca = _pad_rows(np.asarray(ca), ndev)
+    step = jax.jit(_smap(
+        mesh, (P(("q", "d"), None), P(("q", "d"), None)), P(("q", "d")))(
+            lambda a, b: banded_leven_pairs(a, b, t=t, length=length)))
+    sh = NamedSharding(mesh, P(("q", "d"), None))
+    out = step(_put_global(qa, sh), _put_global(ca, sh))
+    from ..util import fetch
+    return fetch(out)[:n]
+
+
 def fused_sharded_count(q_codes: np.ndarray, sdb: ShardedDb, editdist: int,
                         *, q_tile: int = 256,
                         interpret: Optional[bool] = None) -> np.ndarray:

@@ -218,3 +218,45 @@ def test_driver_sharded_leven_retention_routes_through_mesh():
     exact = KnnIndex(seqs, metric="leven", backend="xla")
     want = exact.pass_distance_filter(seqs, 3)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_leven_filter_e4_all_tiers_on_mesh():
+    """e=4 retention with near-duplicate clusters drives the FULL tier
+    cascade — sharded candidate extraction, mesh-wide banded pair
+    verification (sharded_banded_pairs), direction-2 sharded counting,
+    and the sharded full-DP residue — and must equal the single-device
+    decision (round-5: the verification tiers shard too)."""
+    from guidemaker_tpu.knn.leven import leven_pass_filter
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 4, size=(120, 20)).astype(np.uint8)
+    muts = []
+    for r in base[:40]:           # 1-3 substitutions: leven 1-3 clusters
+        m = r.copy()
+        for _ in range(int(rng.integers(1, 4))):
+            m[rng.integers(0, 20)] = rng.integers(0, 4)
+        muts.append(m)
+    for r in base[40:60]:         # one-shift copies: indel-type pairs
+        muts.append(np.concatenate([r[1:], rng.integers(0, 4, 1)
+                                    .astype(np.uint8)]))
+    db = np.unique(np.concatenate([base, np.array(muts)]), axis=0)
+    mesh = make_mesh(2, 4)
+    got = leven_pass_filter(db, db, 4, mesh=mesh, filter_k=4)
+    want = leven_pass_filter(db, db, 4, filter_k=4)
+    np.testing.assert_array_equal(got, want)
+    assert not want.all() and want.any()
+
+
+def test_sharded_banded_pairs_matches_single_device():
+    from guidemaker_tpu.knn.leven import banded_leven_pairs
+    from guidemaker_tpu.knn.sharded import sharded_banded_pairs
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 4, size=(53, 20)).astype(np.uint8)
+    b = a.copy()
+    for i in range(0, 53, 3):
+        b[i, rng.integers(0, 20)] = rng.integers(0, 4)
+    mesh = make_mesh(2, 4)
+    got = sharded_banded_pairs(a, b, t=3, length=20, mesh=mesh)
+    want = np.asarray(banded_leven_pairs(jnp.asarray(a), jnp.asarray(b),
+                                         t=3, length=20))
+    np.testing.assert_array_equal(got, want)
