@@ -206,8 +206,15 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
         qt = min(q_tile, max(128, 1 << (int(m - 1).bit_length())))
         # pow2-bucketed query padding: novel query-batch sizes otherwise
         # compile a fresh program each (multi-second stall on tunneled
-        # TPUs)
-        q_pad = _pad_rows(qc, bucket_rows(m, qt))
+        # TPUs).  Multi-chunk workloads pad the TAIL chunk to the full
+        # chunk size too: one program shape then serves any large query
+        # set — a prewarmed executable beats saving <8191 rows of DP
+        # (~0.7 s device vs a ~4 s compile + load)
+        if nq > chunk:
+            qt = q_tile
+            q_pad = _pad_rows(qc, chunk)
+        else:
+            q_pad = _pad_rows(qc, bucket_rows(m, qt))
         outs.append(fetch(_topk_scan_leven(
             jnp.asarray(q_pad), db_dev, jnp.int32(nd),
             jnp.int32(idx_offset), k=k_eff, length=length,

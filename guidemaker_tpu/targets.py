@@ -220,6 +220,23 @@ class TargetProcessor:
         self._nb_idxs = None
         logger.info("%d of %d queried targets passed the distance filter",
                     len(self._nb_pass_seqs), len(query_seqs))
+        if (self.index.metric == "leven" and self.index.backend != "native"
+                and len(self.index) > 8192
+                and len(self._nb_pass_seqs) > 8192):
+            # prewarm the phase-2 Levenshtein list program: large query
+            # sets always dispatch in fixed 8192-row chunks (leven_topk
+            # pads the tail), so ONE dummy chunk compiles + loads the
+            # exact executable neighbor_frame will use and leaves the
+            # device database resident — its ~5 s first-use cost then
+            # overlaps the annotation stages instead of sitting inside
+            # the format stage (this method already runs in the
+            # pipeline's background retention thread)
+            try:
+                self.index.query_codes(
+                    np.zeros((8192, self.index.length), np.uint8),
+                    k=self.knum)
+            except Exception:   # best-effort only
+                logger.debug("leven phase-2 prewarm failed", exc_info=True)
 
     def _neighbor_arrays(self):
         """k-NN (dists, idxs) for all passing queries, computed on first
