@@ -79,8 +79,16 @@ def _accelerator_expected() -> bool:
     return importlib.util.find_spec("libtpu") is not None
 
 
-if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
-        not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+def _maybe_enable_persistent_cache() -> bool:
+    """Configure the machine-keyed persistent compilation cache.
+
+    Returns True iff the cache directory was set by this call — factored
+    out of the import-time block so the opt-out/environment branches are
+    unit-testable without re-importing the package.
+    """
+    if _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") or \
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return False
     try:
         import jax as _jax
         if _jax.config.jax_compilation_cache_dir is None \
@@ -93,8 +101,13 @@ if not _os.environ.get("GUIDEMAKER_TPU_NO_CACHE") and \
             # compile is a network round trip a cache hit avoids entirely
             _jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.0)
+            return True
     except Exception:  # jax missing/misconfigured: library still imports
         pass
+    return False
+
+
+_maybe_enable_persistent_cache()
 
 from .definitions import ROOT_DIR, CONFIG_PATH, WEB_APP, APP_PARAMETER_IMG, APP_EXPERIMENT_FILE
 from .dna import extend_ambiguous_dna, reverse_complement

@@ -21,6 +21,11 @@ from .leven import leven_topk
 #: databases at/above this size use the streaming (in-kernel DMA) kernel
 STREAM_THRESHOLD = 65536
 
+#: fixed query-chunk rows for streaming top-k dispatches above one chunk
+#: (the pallas grid bakes query rows into the executable; a fixed chunk
+#: keeps the program set at ONE for any genome and makes it prewarmable)
+_STREAM_Q_CHUNK = 32768
+
 
 def _use_packed(length: int) -> bool:
     """Packed-pair kernels (2 guides per 128-lane row, pallas_packed.py)
@@ -326,11 +331,34 @@ class KnnIndex:
             db_dev, db_tile = self._ensure_pallas_db(8192 if stream else 1024)
             if stream:
                 # large databases: stream db tiles inside the kernel
-                # (per-grid-step overhead would dominate the 2-D grid)
+                # (per-grid-step overhead would dominate the 2-D grid).
+                # Query sets above one chunk dispatch in FIXED 32768-row
+                # chunks (tail padded): the pallas grid bakes the query
+                # row count into the executable, so pow2 bucketing alone
+                # still compiled+loaded a fresh program per novel bucket
+                # (~4 s on the tunnel) — one chunk shape serves any
+                # genome, and the retention thread prewarms it.
                 from .pallas_stream import stream_topk_device
-                return stream_topk_device(qc, db_dev, nd, k,
-                                          self.length,
-                                          db_tile=db_tile, q_tile=256)
+                ch = _STREAM_Q_CHUNK
+                nq = qc.shape[0]
+                if nq <= ch:
+                    return stream_topk_device(qc, db_dev, nd, k,
+                                              self.length,
+                                              db_tile=db_tile, q_tile=256)
+                dists, idxs = [], []
+                for lo in range(0, nq, ch):
+                    part = qc[lo:lo + ch]
+                    m = part.shape[0]
+                    if m < ch:   # pad tail: INVALID rows, sliced off
+                        part = np.concatenate(
+                            [part, np.full((ch - m, self.length), 4,
+                                           np.uint8)])
+                    d, i = stream_topk_device(part, db_dev, nd, k,
+                                              self.length,
+                                              db_tile=db_tile, q_tile=256)
+                    dists.append(d[:m])
+                    idxs.append(i[:m])
+                return np.concatenate(dists), np.concatenate(idxs)
             return ph.pallas_topk_device(None, db_dev, nd, k,
                                          self.length, db_tile=db_tile,
                                          q_codes=qc)

@@ -220,23 +220,25 @@ class TargetProcessor:
         self._nb_idxs = None
         logger.info("%d of %d queried targets passed the distance filter",
                     len(self._nb_pass_seqs), len(query_seqs))
-        if (self.index.metric == "leven" and self.index.backend != "native"
+        if (self.index.backend not in ("native",)
                 and len(self.index) > 8192
                 and len(self._nb_pass_seqs) > 8192):
-            # prewarm the phase-2 Levenshtein list program: large query
-            # sets always dispatch in fixed 8192-row chunks (leven_topk
-            # pads the tail), so ONE dummy chunk compiles + loads the
+            # prewarm the phase-2 neighbor-list program: large query
+            # sets always dispatch in fixed-size chunks (8192 rows for
+            # leven_topk, 32768 for the hamming streaming top-k — both
+            # pad the tail), so ONE dummy chunk compiles + loads the
             # exact executable neighbor_frame will use and leaves the
-            # device database resident — its ~5 s first-use cost then
+            # device database resident — its ~4-5 s first-use cost then
             # overlaps the annotation stages instead of sitting inside
             # the format stage (this method already runs in the
             # pipeline's background retention thread)
             try:
+                rows = 8192 if self.index.metric == "leven" else 32768
                 self.index.query_codes(
-                    np.zeros((8192, self.index.length), np.uint8),
+                    np.zeros((rows, self.index.length), np.uint8),
                     k=self.knum)
             except Exception:   # best-effort only
-                logger.debug("leven phase-2 prewarm failed", exc_info=True)
+                logger.debug("phase-2 prewarm failed", exc_info=True)
 
     def _neighbor_arrays(self):
         """k-NN (dists, idxs) for all passing queries, computed on first
@@ -321,7 +323,7 @@ class TargetProcessor:
             i = self._nb_idxs[pos]
         else:
             # lazy phase 2: k-NN lists only for the guides actually kept
-            with substage_timer("nbframe: phase-2 query"):
+            with substage_timer("nbframe: phase-2 query n=%d" % len(seqs)):
                 d, i = self.index.query(seqs, k=self.knum)
         # vectorized ';' assembly: Arrow's elementwise join with
         # null_handling='skip' reproduces the truncate-at-first-invalid
