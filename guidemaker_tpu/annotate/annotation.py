@@ -324,8 +324,31 @@ class Annotation:
             "target_seq30"]]
         ctx.__exit__(None, None, None)
         with substage_timer("format: quals merge+sort"):
-            pretty_df = pretty_df.merge(self.qualifiers, how="left",
-                                        on="Feature id")
+            # qualifier columns via category-level mapping: Feature id is
+            # Categorical with ~#features levels, so one get_indexer over
+            # the LEVELS + a code take replaces a 100k-row string merge.
+            # Column order and left-join NaN semantics are preserved.
+            fid = pretty_df["Feature id"]
+            if (isinstance(fid.dtype, pd.CategoricalDtype)
+                    and len(self.qualifiers)):
+                qidx = pd.Index(self.qualifiers["Feature id"])
+                lvl = qidx.get_indexer(fid.cat.categories)
+                codes = fid.cat.codes.to_numpy()
+                row = np.where(codes >= 0, lvl[codes], -1)
+                qhit = row >= 0
+                safe = np.where(qhit, row, 0)
+                for col in self.qualifiers.columns:
+                    if col == "Feature id":
+                        continue
+                    src = self.qualifiers[col].to_numpy()
+                    vals = pd.Series(src[safe], index=pretty_df.index,
+                                     dtype=self.qualifiers[col].dtype)
+                    if not qhit.all():
+                        vals[~qhit] = None
+                    pretty_df[col] = vals
+            else:
+                pretty_df = pretty_df.merge(self.qualifiers, how="left",
+                                            on="Feature id")
             pretty_df = pretty_df.sort_values(by=["Accession", "Feature start"])
             # 1-based offset applied to start columns only (reference behavior)
             pretty_df["Guide start"] = pretty_df["Guide start"] + 1
