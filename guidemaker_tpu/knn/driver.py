@@ -429,11 +429,8 @@ class KnnIndex:
                     db_tile=self._db_packed_tile)
                 return counts <= 1
             from .pallas_stream import stream_count_device
-            if self._db_dev is None:
-                self._db_tile = min(
-                    8192, max(128, 1 << int(nd - 1).bit_length()))
-                from . import pallas_hamming as ph
-                self._db_dev = ph.prepare_db_codes(self._codes, self._db_tile)
+            # lock-protected init: the phase-2 prewarm thread races this
+            self._ensure_pallas_db(8192)
             if len(seqs) == nd and self._seqs_equal_db(seqs):
                 # all-vs-all: reuse the resident database one-hot
                 counts = stream_count_device(

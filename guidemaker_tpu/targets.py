@@ -206,6 +206,11 @@ class TargetProcessor:
         # (same semantics as the old dict.fromkeys over a Python list,
         # without materializing 1.16M strings)
         query_seqs = self.targets.loc[mask, "target"].drop_duplicates()
+        # phase-2 prewarm runs CONCURRENTLY with the retention counting
+        # compile below (XLA compiles release the GIL): on a cold cache
+        # the two ~4-10 s compiles overlap instead of serializing inside
+        # this (already-backgrounded) thread
+        warm_t = self._launch_phase2_prewarm()
         # Phase 1 — retention decision only (a counting kernel on the
         # streaming TPU path: one VPU pass per pair instead of k merge
         # passes).  The k-NN lists themselves are computed lazily, and
@@ -220,18 +225,27 @@ class TargetProcessor:
         self._nb_idxs = None
         logger.info("%d of %d queried targets passed the distance filter",
                     len(self._nb_pass_seqs), len(query_seqs))
-        if (self.index.backend not in ("native",)
-                and len(self.index) > 8192
-                and len(self._nb_pass_seqs) > 8192):
-            # prewarm the phase-2 neighbor-list program: large query
-            # sets always dispatch in fixed-size chunks (8192 rows for
-            # leven_topk, 32768 for the hamming streaming top-k — both
-            # pad the tail), so ONE dummy chunk compiles + loads the
-            # exact executable neighbor_frame will use and leaves the
-            # device database resident — its ~4-5 s first-use cost then
-            # overlaps the annotation stages instead of sitting inside
-            # the format stage (this method already runs in the
-            # pipeline's background retention thread)
+        if warm_t is not None:
+            warm_t.join()
+
+    def _launch_phase2_prewarm(self):
+        """Compile + load the phase-2 neighbor-list executable in a
+        daemon thread.
+
+        Large query sets always dispatch in fixed-size chunks (8192
+        rows for leven_topk, 32768 for the hamming streaming top-k —
+        both pad the tail), so ONE dummy chunk compiles + loads the
+        exact executable neighbor_frame will use and leaves the device
+        database resident — its ~4-5 s first-use cost overlaps the
+        retention counting compile/run instead of sitting inside the
+        format stage.
+        """
+        if (self.index.backend in ("native",)
+                or len(self.index) <= 8192):
+            return None
+        import threading
+
+        def _warm():
             try:
                 rows = 8192 if self.index.metric == "leven" else 32768
                 self.index.query_codes(
@@ -239,6 +253,11 @@ class TargetProcessor:
                     k=self.knum)
             except Exception:   # best-effort only
                 logger.debug("phase-2 prewarm failed", exc_info=True)
+
+        t = threading.Thread(target=_warm, name="gm-phase2-prewarm",
+                             daemon=True)
+        t.start()
+        return t
 
     def _neighbor_arrays(self):
         """k-NN (dists, idxs) for all passing queries, computed on first
