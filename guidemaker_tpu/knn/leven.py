@@ -199,7 +199,8 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
     if db_dev is None:
         db_dev = jnp.asarray(_pad_rows(db_codes, db_tile))
     from .pallas_hamming import bucket_rows
-    outs = []
+    from ..util import fetch_list
+    devs, ms = [], []
     for lo in range(0, nq, chunk):
         qc = q_codes[lo:lo + chunk]
         m = qc.shape[0]
@@ -215,10 +216,15 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
             q_pad = _pad_rows(qc, chunk)
         else:
             q_pad = _pad_rows(qc, bucket_rows(m, qt))
-        outs.append(fetch(_topk_scan_leven(
+        # dispatch only — every chunk queues on the device; ONE batched
+        # fetch below drains the tiny (chunk, k) key blocks, so host
+        # prep for chunk i+1 overlaps chunk i's DP
+        devs.append(_topk_scan_leven(
             jnp.asarray(q_pad), db_dev, jnp.int32(nd),
             jnp.int32(idx_offset), k=k_eff, length=length,
-            db_tile=db_tile, q_tile=qt, engine=engine, clean=clean))[:m])
+            db_tile=db_tile, q_tile=qt, engine=engine, clean=clean))
+        ms.append(m)
+    outs = [np.asarray(o)[:m] for o, m in zip(fetch_list(devs), ms)]
     out = np.concatenate(outs) if outs else np.empty((0, k_eff), np.int32)
 
     dist, idx = unpack_keys(out)

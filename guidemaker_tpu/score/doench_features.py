@@ -67,7 +67,6 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
             raise Exception(f"expected GG but found {seqs[i][25:27]}")
 
     atcg = _CODE_TO_ATCG[codes]                       # (n, 30) in ATCG order
-    rows = np.repeat(np.arange(n), 30)
 
     # all features are filled into one float32 matrix in place: every
     # block is a small non-negative integer (exact in f32) except Tm,
@@ -78,8 +77,15 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
     # full-matrix transpose copy
     out = np.zeros((n, N_FEATURES), dtype=np.float32, order="F")
 
+    # one-hot blocks via identity-row gathers + block assignment — an
+    # order of magnitude faster than the fancy-index scatters they
+    # replace (the scatter's element-at-a-time writes into the F-order
+    # matrix dominated featurization at 100k+ guides)
+    _EYE4 = np.eye(4, dtype=np.float32)
+    _EYE16 = np.eye(16, dtype=np.float32)
+
     # _nuc_pd_Order1 @ [0:120): one-hot, 4 cols per position
-    out[rows, np.tile(np.arange(30), n) * 4 + atcg.reshape(-1)] = 1.0
+    out[:, :120] = _EYE4[atcg].reshape(n, 120)
 
     # _nuc_pi_Order1 @ [120:124): counts — bincount over flattened
     # (row, base) bins; np.add.at is a buffered scatter measured several
@@ -90,10 +96,9 @@ def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
 
     # dinucleotide index in product('ATCG', repeat=2) order
     d2 = atcg[:, :-1] * 4 + atcg[:, 1:]               # (n, 29)
-    rows29 = np.repeat(np.arange(n), 29)
 
     # _nuc_pd_Order2 @ [124:588): one-hot, 16 cols per position
-    out[rows29, 124 + np.tile(np.arange(29), n) * 16 + d2.reshape(-1)] = 1.0
+    out[:, 124:588] = _EYE16[d2].reshape(n, 464)
 
     # _nuc_pi_Order2 @ [588:604): counts (bincount, as above)
     out[:, 588:604] = np.bincount(
