@@ -309,10 +309,12 @@ class Annotation:
                  | p_strand)
         pos = pd.Index(t_key).get_indexer(p_key)
         hit = pos >= 0
+        safe_pos = np.where(hit, pos, 0)
         for src, dst in (("dtype", "dtype"), ("exact_pam", "PAM"),
                          ("target_seq30", "target_seq30")):
-            col = targets[src].to_numpy()[np.where(hit, pos, 0)]
-            vals = pd.array(col, dtype=targets[src].dtype)
+            # positional take on the Arrow-backed column (C++; no Python
+            # strings), re-axised onto pretty_df's index
+            vals = targets[src].iloc[safe_pos].set_axis(pretty_df.index)
             if not hit.all():                 # left-join NaN semantics
                 vals[~hit] = None
             pretty_df[dst] = vals
