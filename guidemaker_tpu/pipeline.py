@@ -139,6 +139,16 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         logger.info("Indexing all potential guide sites (exact k-NN)")
         with stage_timer("index build"):
             tl.create_index(configpath=cfg.config, num_threads=cfg.threads)
+        if cfg.controls > 0 and not cfg.raw_output_only:
+            # compile the control-ladder device programs (sampler, chunk
+            # counting, passer gather, exact k=1) in a daemon thread NOW:
+            # on a cold cache they cost ~8-10 s, which otherwise lands in
+            # the controls tail after the search launches post-retention;
+            # compiles are host-side and overlap the retention compiles
+            # on other cores (the search itself still launches after the
+            # retention join — overlapping their DEVICE work serialized
+            # both, measured +7 s in round 4)
+            tl.prewarm_controls(cfg.config, cfg.guidelength, cfg.controls)
         logger.info("Finding guides with distance > %s to all other guides",
                     cfg.dist)
         # The retention pass (exact k-NN counting) runs in a background
