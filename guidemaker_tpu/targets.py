@@ -414,45 +414,48 @@ class TargetProcessor:
         """
         import threading
 
-        def _warm():
+        def _warm_triage():
             try:
                 import jax
                 import jax.numpy as jnp
-                with open(configpath) as cf:
-                    config = yaml.safe_load(cf)
-                mult0 = config["CONTROL"]["CONTROL_SEARCH_MULTIPLE"][0]
-                mindist = config["CONTROL"]["MINIMUM_HMDIST"]
+                mindist_ = yaml.safe_load(open(configpath))["CONTROL"][
+                    "MINIMUM_HMDIST"]
                 chunk = _control_chunk_rows()
                 cum = jnp.cumsum(jnp.asarray([.25, .25, .25, .25],
                                              jnp.float32))
                 codes_dev = _device_sampler()(jax.random.PRNGKey(0), cum,
                                               m=chunk, length=length)
-                pm = self.index.pass_mask_chunks([codes_dev], mindist)
+                pm = self.index.pass_mask_chunks([codes_dev], mindist_)
                 if pm is not None:
                     # warm the fixed-shape passer gather (take + fetch)
                     self._gather_chunk_passers(
                         [codes_dev], np.arange(2, dtype=np.int64))
                 else:
-                    pm = self.index.count_within(codes_dev, mindist)
-                if pm is not None:
-                    # passer batches land in the pow2 bucket around ~4n
-                    # in practice (pass rates settle near n/m on the
-                    # successful rung); also warm rung-0's full-batch
-                    # shape, which the monolithic fallback queries
-                    warm_rows = max(128, 1 << (4 * n - 1).bit_length())
-                    self.index.hamming_query_codes(
-                        np.zeros((warm_rows, length), np.uint8), k=1)
-                    if n * mult0 <= chunk:
-                        self.index.hamming_query_codes(
-                            np.zeros((n * mult0, length), np.uint8), k=1)
+                    self.index.count_within(codes_dev, mindist_)
             except Exception:   # prewarm is best-effort only
-                logger.debug("control prewarm failed", exc_info=True)
+                logger.debug("control triage prewarm failed", exc_info=True)
 
-        t = threading.Thread(target=_warm, name="gm-controls-prewarm",
-                             daemon=True)
-        t.start()
-        self._prewarm_thread = t
-        return t
+        def _warm_verify():
+            try:
+                # verify batches pad to _PASSER_CAP multiples (pow2
+                # bucketed above it): warm the two usual executables
+                for rows in (_PASSER_CAP, 4 * _PASSER_CAP):
+                    self.index.hamming_query_codes(
+                        np.zeros((rows, length), np.uint8), k=1)
+            except Exception:
+                logger.debug("control verify prewarm failed", exc_info=True)
+
+        # two threads: on a cold cache the triage-counting and exact-k=1
+        # compiles are each multi-second — serializing them in one thread
+        # pushed the whole prewarm past the search launch
+        ts = [threading.Thread(target=f, name=nm, daemon=True)
+              for f, nm in ((_warm_triage, "gm-controls-prewarm"),
+                            (_warm_verify, "gm-controls-prewarm-verify"))]
+        for t in ts:
+            t.start()
+        self._prewarm_thread = ts[0]
+        self._prewarm_thread2 = ts[1]
+        return ts[0]
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -559,8 +562,22 @@ class TargetProcessor:
             ladder: measured <1000 leven>=7 candidates in 11.1M draws on
             P. aeruginosa; documented divergence, PARITY.md)."""
             nonlocal acc_n
-            dists, _ = self.index.hamming_query_codes(pc, k=1)
-            nearest = dists[:, 0].astype(np.int64)
+            m = pc.shape[0]
+            from .knn.driver import STREAM_THRESHOLD
+            pad = ((-m) % _PASSER_CAP
+                   if (self.index.backend == "pallas"
+                       and len(self.index) >= STREAM_THRESHOLD) else 0)
+            if pad:
+                # fixed 1024-multiples: every verify batch hits one of a
+                # handful of prewarmed executables instead of compiling
+                # a fresh pow2 bucket per batch size (INVALID pad rows
+                # one-hot to zero -> distance = length; sliced off)
+                pc_q = np.concatenate(
+                    [pc, np.full((pad, pc.shape[1]), 4, np.uint8)])
+            else:
+                pc_q = pc
+            dists, _ = self.index.hamming_query_codes(pc_q, k=1)
+            nearest = dists[:m, 0].astype(np.int64)
             keep = nearest >= minimum_hmdist_target
             if keep.any():
                 acc.append(pc[keep])
@@ -756,6 +773,9 @@ class TargetProcessor:
         th = getattr(self, "_prewarm_thread", None)
         if th is not None:
             th.join(timeout=600)   # let the program loads finish cleanly
+        th2 = getattr(self, "_prewarm_thread2", None)
+        if th2 is not None:
+            th2.join(timeout=600)
         logger.debug("control search: GC pass %.2fs, prewarm join %.2fs",
                      t_gc - t0, time.time() - t_gc)
         sort_seq, sort_dist, search_mult, searched = self._control_search(
