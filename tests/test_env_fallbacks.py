@@ -244,3 +244,71 @@ def test_hamming_query_codes_on_leven_index_all_backends():
         d, i = idx.hamming_query_codes(codes, 2)
         np.testing.assert_array_equal(d, want_d)
         np.testing.assert_array_equal(i, want_i)
+
+
+def test_chunked_stream_topk_path(monkeypatch):
+    """Query sets above one fixed chunk dispatch chunk-wise with a padded
+    tail; results must equal the single-dispatch path."""
+    import guidemaker_tpu.knn.driver as drv
+    monkeypatch.setenv("GUIDEMAKER_TPU_KERNEL", "pallas")
+    monkeypatch.setattr(drv, "STREAM_THRESHOLD", 64)
+    monkeypatch.setattr(drv, "_STREAM_Q_CHUNK", 128)
+    seqs = _seqs(400)
+    idx = KnnIndex(seqs, metric="hamming", backend="pallas")
+    ref = KnnIndex(seqs, metric="hamming", backend="xla")
+    d, i = idx.query(seqs[:300], k=3)     # 3 chunks, padded tail
+    wd, wi = ref.query(seqs[:300], k=3)
+    np.testing.assert_array_equal(d, wd)
+    np.testing.assert_array_equal(i, wi)
+
+
+def test_pallas_stream_filter_and_counts(monkeypatch):
+    """The streaming counting branches of pass_distance_filter /
+    count_within / pass_mask_within on the pallas backend (interpret
+    mode on CPU)."""
+    import guidemaker_tpu.knn.driver as drv
+    monkeypatch.setenv("GUIDEMAKER_TPU_KERNEL", "pallas")
+    monkeypatch.setattr(drv, "STREAM_THRESHOLD", 64)
+    # the all-vs-all reuse path requires db_pad >= its q_tile (true at
+    # the real 64k threshold); >=1024 unique rows keeps that invariant
+    seqs = _seqs(1200)
+    idx = KnnIndex(seqs, metric="hamming", backend="pallas")
+    ref = KnnIndex(seqs, metric="hamming", backend="xla")
+    # all-vs-all shortcut (list input) and subset path
+    np.testing.assert_array_equal(idx.pass_distance_filter(seqs, 2),
+                                  ref.pass_distance_filter(seqs, 2))
+    np.testing.assert_array_equal(idx.pass_distance_filter(seqs[:40], 2),
+                                  ref.pass_distance_filter(seqs[:40], 2))
+    # arrow-typed all-vs-all (the pipeline's route)
+    import pandas as pd
+    col = pd.Series(seqs, dtype="str")
+    idx2 = KnnIndex(col, metric="hamming", backend="pallas")
+    np.testing.assert_array_equal(idx2.pass_distance_filter(col, 2),
+                                  ref.pass_distance_filter(seqs, 2))
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, (17, 20)).astype(np.uint8)
+    np.testing.assert_array_equal(idx.count_within(codes, 3),
+                                  ref.count_within(codes, 3))
+    np.testing.assert_array_equal(
+        idx.pass_mask_within(codes, 3).astype(bool),
+        np.asarray(ref.count_within(codes, 3)) == 0)
+
+
+def test_sharded_backend_leven_query_codes():
+    seqs = _seqs(90)
+    codes = np.stack([dna.encode(s) for s in seqs[:7]])
+    idx = KnnIndex(seqs, metric="leven", backend="sharded")
+    ref = KnnIndex(seqs, metric="leven", backend="xla")
+    d, i = idx.query_codes(codes, 2)
+    wd, wi = ref.query_codes(codes, 2)
+    np.testing.assert_array_equal(d, wd)
+    np.testing.assert_array_equal(i, wi)
+
+
+def test_load_backend_override(tmp_path):
+    seqs = _seqs(30)
+    idx = KnnIndex(seqs, metric="hamming", backend="xla")
+    p = str(tmp_path / "i.npz")
+    idx.save(p)
+    idx2 = KnnIndex.load(p, backend="native")
+    assert idx2.backend == "native" and len(idx2) == len(seqs)
