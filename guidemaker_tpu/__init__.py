@@ -123,7 +123,7 @@ from . import doench_featurization
 
 # single source of truth for the package version: pyproject.toml reads
 # this attribute dynamically ([tool.setuptools.dynamic])
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "PamTarget", "TargetProcessor", "Annotation",
