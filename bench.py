@@ -332,6 +332,14 @@ def _main_body():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')} "
         f"budget {BUDGET_S:.0f}s")
     record["device"] = f"{dev.platform} {getattr(dev, 'device_kind', '')}"
+    # host-throttle probe: the dev VM's CPU has multi-minute throttling
+    # phases (measured np.sort of 8M int64 at 0.6-10 s for identical
+    # inputs) that inflate every host-bound stage 3-6x; recording the
+    # probe makes run-to-run variance interpretable (healthy ~0.7 s)
+    t0 = time.time()
+    np.sort(np.random.default_rng(0).integers(0, 1 << 40, 8_000_000))
+    record["host_sort8m_s"] = round(time.time() - t0, 2)
+    log(f"  host probe: np.sort 8M int64 {record['host_sort8m_s']} s")
     try:
         import guidemaker_tpu
         record["version"] = guidemaker_tpu.__version__
