@@ -411,6 +411,51 @@ def _delset_partner_mask(codes: np.ndarray) -> np.ndarray:
     return partner
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _delset_partner_device(codes, *, length):
+    """Device twin of :func:`_delset_partner_mask`: (n, L) uint8 codes ->
+    (n,) bool partner mask, entirely on the accelerator.
+
+    The host version's flat np.sort of n*L int64 keys is the leven e=3
+    path's only host-bound stage (8-40 s at genome scale under the dev
+    VM's throttle phases; ~0.5 s on a v5e).  TPUs run with x64 disabled,
+    so the packed length-(L-1) variant is split into a (hi, lo) int32
+    pair — lo wraps mod 2^32, which is still injective per variant
+    (the true low half is exactly 32 bits) — and grouped with ONE
+    lexicographic ``lax.sort`` over (hi, lo) with the owner id as
+    payload.  Every adjacent sorted pair with an equal variant and a
+    different owner flags both owners: each maximal same-owner block in
+    a multi-owner run borders a different owner, so all partners are
+    flagged (and single-owner runs never are).
+    """
+    n = codes.shape[0]
+    L = length
+    glen = L - 1
+    # variant (i, d) = row i with position d deleted: gather via the
+    # static (L, glen) index table idx[d, j] = j + (j >= d)
+    j = np.arange(glen)
+    idx = jnp.asarray((j[None, :] + (j[None, :] >= np.arange(L)[:, None]))
+                      .astype(np.int32))
+    var = codes[:, idx].astype(jnp.int32)            # (n, L, glen)
+    lo_w = jnp.asarray([jnp.int32(1) << (2 * k) for k in range(min(16, glen))])
+    lo = jnp.sum(var[..., :16] * lo_w, axis=-1)      # wraps mod 2^32: ok
+    if glen > 16:
+        hi_w = jnp.asarray([jnp.int32(1) << (2 * (k - 16))
+                            for k in range(16, glen)])
+        hi = jnp.sum(var[..., 16:] * hi_w, axis=-1)
+    else:
+        hi = jnp.zeros_like(lo)
+    owners = (jax.lax.broadcasted_iota(jnp.int32, (n, L), 0)).reshape(-1)
+    hi, lo = hi.reshape(-1), lo.reshape(-1)
+    hi_s, lo_s, own_s = jax.lax.sort((hi, lo, owners), num_keys=2)
+    same = (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1])
+    flag = (same & (own_s[1:] != own_s[:-1])).astype(jnp.int32)
+    part = jnp.zeros((n,), jnp.int32)
+    part = part.at[own_s[:-1]].max(flag)
+    part = part.at[own_s[1:]].max(flag)
+    return part.astype(jnp.bool_)
+
+
 def _match_rows(q_codes: np.ndarray, db_codes: np.ndarray) -> np.ndarray:
     """Row index in ``db_codes`` of each ``q_codes`` row (2-bit packed
     exact match; rows absent from the db map to row 0 — callers hold the
@@ -564,7 +609,14 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
                 q_feat, db_feat, length=length, editdist=3,
                 q_tile=q_tile, db_tile=db_tile,
                 interpret=interpret)[:nq, 0])
-        partner = _delset_partner_mask(db_codes)
+        if jax.default_backend() == "tpu":
+            # device join: the host sort was the e=3 path's only
+            # host-bound stage (throttle-sensitive; see
+            # _delset_partner_device)
+            partner = fetch(_delset_partner_device(
+                jnp.asarray(db_codes), length=length))
+        else:
+            partner = _delset_partner_mask(db_codes)
         if q_codes is db_codes:
             q_partner = partner
         else:

@@ -380,3 +380,23 @@ def test_leven_topk_single_dispatch_multi_tile():
     dw, iw = _topk_oracle(dm, 3)
     np.testing.assert_array_equal(dists, dw)
     np.testing.assert_array_equal(idx, iw)
+
+
+def test_delset_partner_device_twin_matches_host():
+    """The on-device deletion-set join (lex sort over (hi, lo) int32
+    halves + adjacent-owner flagging) must equal the host sort-join for
+    every L around the 16-position lo/hi split boundary."""
+    from guidemaker_tpu.knn.leven import (_delset_partner_device,
+                                          _delset_partner_mask)
+    rng = np.random.default_rng(13)
+    for L in (9, 16, 17, 20, 24):
+        base = rng.integers(0, 4, (120, L)).astype(np.uint8)
+        shifted = [np.concatenate([r[1:], rng.integers(0, 4, 1)
+                                   .astype(np.uint8)]) for r in base[:25]]
+        codes = np.unique(np.concatenate([base, np.array(shifted)]), axis=0)
+        import jax.numpy as jnp
+        want = _delset_partner_mask(codes)
+        got = np.asarray(_delset_partner_device(jnp.asarray(codes),
+                                                length=L))
+        np.testing.assert_array_equal(got, want)
+        assert want.any() and not want.all()
