@@ -85,6 +85,15 @@ def _start_d2h_keepalive(period_s: float = 20.0) -> None:
         if _keepalive_started:
             return
         _keepalive_started = True
+        import atexit
+        stop = threading.Event()
+        # atexit handlers run LIFO before interpreter finalization:
+        # registering here (after jax's own handlers) stops the ping
+        # loop BEFORE jax clears its backends — a ping dispatched into
+        # a torn-down backend re-initializes it mid-shutdown and can
+        # segfault the process at exit (observed rc=139 after a fully
+        # green pytest run)
+        atexit.register(stop.set)
 
         def _ping():
             import numpy as np
@@ -92,8 +101,7 @@ def _start_d2h_keepalive(period_s: float = 20.0) -> None:
                 import jax.numpy as jnp
             except Exception:
                 return
-            while True:
-                time.sleep(period_s)
+            while not stop.wait(period_s):
                 try:
                     np.asarray(jnp.zeros(8, jnp.int32))
                 except Exception:
