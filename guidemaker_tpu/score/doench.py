@@ -140,6 +140,18 @@ def predict(seq: np.ndarray, model_file: Optional[str] = None,
         return ensemble_predict(ens, feats, int_col=INT_FEATURE_MASK)
 
 
+def predict_codes(codes: np.ndarray, pam_audit: bool = True) -> np.ndarray:
+    """:func:`predict` on a pre-encoded (n, 30) uint8 code matrix — the
+    pipeline's string-free route (codes come off the Arrow buffer)."""
+    from ..util import substage_timer
+    from .doench_features import INT_FEATURE_MASK, featurize_codes
+    ens = load_ensemble()
+    with substage_timer("doench: featurize"):
+        feats = featurize_codes(codes, pam_audit=pam_audit)
+    with substage_timer("doench: tree descent"):
+        return ensemble_predict(ens, feats, int_col=INT_FEATURE_MASK)
+
+
 def get_doench_efficiency_score(df, pam_orientation, num_threads=1):
     """Append the ``Efficiency`` column (reference core.py:1152-1166).
 
@@ -155,9 +167,11 @@ def get_doench_efficiency_score(df, pam_orientation, num_threads=1):
             "in the region flanking the PAM site. These cannot be scored.",
             len(df) - len(df2))
     if pam_orientation == "3prime" and set(df2.PAM) == checkset:
-        doenchscore = predict(
-            df2.target_seq30.str.upper().to_numpy(),  # Arrow utf8_upper
-            num_threads=num_threads)
+        # string-free: upper-case via the Arrow kernel, codes straight
+        # off the buffer — no 100k-entry Python string array
+        from .. import dna
+        codes, _ = dna.encode_pandas(df2.target_seq30.str.upper())
+        doenchscore = predict_codes(codes)
         df2["Efficiency"] = doenchscore.ravel()
     else:
         logger.warning(

@@ -58,13 +58,27 @@ def encode30(seqs: Sequence[str]) -> np.ndarray:
 
 def featurize(seqs: Sequence[str], pam_audit: bool = True) -> np.ndarray:
     """(n,) 30-mer strings -> (n, 627) float64 feature matrix."""
-    codes = encode30(seqs)
+    return featurize_codes(encode30(seqs), pam_audit=pam_audit)
+
+
+def featurize_codes(codes: np.ndarray, pam_audit: bool = True) -> np.ndarray:
+    """(n, 30) uint8 code matrix -> (n, 627) feature matrix.
+
+    The string-free entry point: the pipeline's 30-mer column is
+    Arrow-backed, so the codes come straight off the buffer
+    (``dna.encode_pandas``) without materializing Python strings."""
+    codes = np.asarray(codes)
     n = codes.shape[0]
+    if codes.shape[1] != 30:
+        raise AssertionError("Sequences should be 30 nt long")
+    if (codes >= 4).any():
+        raise AssertionError("sequences must be ACGT only")
     if pam_audit:
         bad = (codes[:, 25] != dna.G) | (codes[:, 26] != dna.G)
         if bad.any():
             i = int(np.nonzero(bad)[0][0])
-            raise Exception(f"expected GG but found {seqs[i][25:27]}")
+            raise Exception(
+                f"expected GG but found {dna.decode(codes[i, 25:27])}")
 
     atcg = _CODE_TO_ATCG[codes]                       # (n, 30) in ATCG order
 
