@@ -236,3 +236,127 @@ def test_control_seqs_pallas_chunked_ladder(genome_fasta, configpath,
                                     configpath=configpath, length=20,
                                     n=12, seed=42)
     assert df["Sequences"].tolist() == df2["Sequences"].tolist()
+
+
+def test_control_ladder_fallback_paths(genome_fasta, configpath, tmp_path,
+                                       monkeypatch):
+    """Covers the rarely-hit control-search branches: the rung-wide
+    gather fallback (>_PASSER_CAP passers per chunk at tiny db sizes),
+    the verify-batch 1024-pad on the streaming pallas path, the
+    multi-chunk monolithic rung on the xla backend, and ladder
+    exhaustion (IndexError)."""
+    import yaml
+    import guidemaker_tpu.knn.driver as drv
+
+    pamobj = PamTarget("ATGAC", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    base = yaml.safe_load(open(configpath))
+
+    # (a) pallas streaming path, huge pass rate -> gather-cap fallback +
+    # verify pad; early exit inside the first rung
+    monkeypatch.setenv("GUIDEMAKER_TPU_KERNEL", "pallas")
+    monkeypatch.setattr(drv, "STREAM_THRESHOLD", 16)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    cmin, cmed, df = tl.get_control_seqs(parse_fasta(genome_fasta),
+                                         configpath=configpath, length=20,
+                                         n=9, seed=5)
+    assert cmin >= base["CONTROL"]["MINIMUM_HMDIST"] and len(df) == 9
+    monkeypatch.delenv("GUIDEMAKER_TPU_KERNEL")
+    monkeypatch.undo()
+
+    # (b) xla backend, multi-chunk monolithic rung (m > chunk rows)
+    cfg2 = dict(base)
+    cfg2["CONTROL"] = {"MINIMUM_HMDIST": 7,
+                       "CONTROL_SEARCH_MULTIPLE": [300]}
+    p2 = tmp_path / "cfg2.yaml"
+    p2.write_text(yaml.safe_dump(cfg2))
+    tl2 = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl2.find_unique_near_pam()
+    tl2.check_restriction_enzymes([])
+    tl2.create_index(configpath=str(p2))
+    tl2.index.backend = "xla"
+    cmin2, _, df2 = tl2.get_control_seqs(parse_fasta(genome_fasta),
+                                         configpath=str(p2), length=20,
+                                         n=40, seed=6)
+    assert cmin2 >= 7 and len(df2) == 40
+
+    # (c) ladder exhaustion raises IndexError (reference contract)
+    cfg3 = dict(base)
+    cfg3["CONTROL"] = {"MINIMUM_HMDIST": 20,
+                       "CONTROL_SEARCH_MULTIPLE": [2, 4]}
+    p3 = tmp_path / "cfg3.yaml"
+    p3.write_text(yaml.safe_dump(cfg3))
+    tl3 = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl3.find_unique_near_pam()
+    tl3.check_restriction_enzymes([])
+    tl3.create_index(configpath=str(p3))
+    with pytest.raises(IndexError, match="Could not find controls"):
+        tl3.get_control_seqs(parse_fasta(genome_fasta), configpath=str(p3),
+                             length=20, n=5, seed=7)
+
+
+def test_control_search_param_mismatch_warns_and_recomputes(
+        genome_fasta, configpath, caplog):
+    import logging as _logging
+    pamobj = PamTarget("ATGAC", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    tl.launch_control_search(genome_fasta, configpath=configpath,
+                             length=20, n=6, seed=1)
+    with caplog.at_level(_logging.WARNING, logger="guidemaker_tpu.targets"):
+        cmin, cmed, df = tl.get_control_seqs(
+            parse_fasta(genome_fasta), configpath=configpath,
+            length=20, n=6, seed=2)   # different seed -> recompute
+    assert len(df) == 6
+
+
+def test_neighbors_dict_padded_k_gt_db(genome_fasta, configpath):
+    """knum > database size pads (-1) entries; the dict view must
+    truncate them (reference neighbor-dict shape)."""
+    tl = TargetProcessor(targets=_fixture_targets(), lsr=10, editdist=2,
+                         knum=5)
+    tl.check_restriction_enzymes([])
+    tl.find_unique_near_pam()
+    tl.create_index(configpath=configpath)
+    tl.get_neighbors(configpath=configpath)
+    nb = tl.neighbors
+    for seq, entry in nb.items():
+        assert len(entry["neighbors"]["dist"]) <= 2
+        assert len(entry["neighbors"]["seqs"]) == \
+            len(entry["neighbors"]["dist"])
+
+
+def test_phase2_prewarm_thread_runs(genome_fasta, configpath, monkeypatch):
+    """The phase-2 prewarm gate opens for genome-scale indexes; force it
+    open on the tiny fixture and require a clean join."""
+    pamobj = PamTarget("ATGA", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    from guidemaker_tpu.knn.driver import KnnIndex
+    monkeypatch.setattr(KnnIndex, "__len__", lambda self: 9000)
+    t = tl._launch_phase2_prewarm()
+    assert t is not None
+    t.join(timeout=300)
+    assert not t.is_alive()
+
+
+def test_prewarm_controls_threads_join(genome_fasta, configpath):
+    pamobj = PamTarget("ATGA", "5prime", "hamming")
+    targets = pamobj.find_targets(parse_fasta(genome_fasta), target_len=20)
+    tl = TargetProcessor(targets=targets, lsr=10, editdist=2, knum=2)
+    tl.find_unique_near_pam()
+    tl.check_restriction_enzymes([])
+    tl.create_index(configpath=configpath)
+    t = tl.prewarm_controls(configpath, 20, 8)
+    t.join(timeout=300)
+    tl._prewarm_thread2.join(timeout=300)
+    assert not t.is_alive() and not tl._prewarm_thread2.is_alive()
