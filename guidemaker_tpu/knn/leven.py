@@ -140,6 +140,19 @@ def _topk_tiles_leven(qc, db_codes, db_n, idx_offset, *, k, length, db_tile,
         dist = block(qc, tile, length=length)
         gidx = t * db_tile + lane
         keys = jnp.where(gidx < db_n, pack_keys(dist, gidx + idx_offset), INF_KEY)
+        if k <= 8:
+            # k-round min-extraction: packed keys are unique (distinct
+            # idx bits), so masking the exact minimum each round yields
+            # the tile's k smallest in ~3k VPU ops/element — measured
+            # ~5x cheaper than lax.top_k over (tq, db_tile + k), which
+            # was ~15% of the whole Myers scan's wall time
+            cand = []
+            kk = keys
+            for _ in range(min(k, db_tile)):
+                m = jnp.min(kk, axis=1)
+                cand.append(m)
+                kk = jnp.where(kk == m[:, None], INF_KEY, kk)
+            keys = jnp.stack(cand, axis=1)
         return _merge_topk(best, keys, k), None
 
     best, _ = jax.lax.scan(body, init, jnp.arange(n_tiles, dtype=jnp.int32))
