@@ -187,6 +187,12 @@ def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=3):
     @functools.partial(jax.jit, static_argnames=("reps",))
     def chained(q, db, *, reps):
         def body(_, carry):
+            # data dependency between reps so XLA cannot elide them:
+            # carry[0,0] is a real top-k key, never INF_KEY+1, so dep is
+            # always exactly 0.0 and q + 0.0 == q BIT-EXACTLY in bf16
+            # (adding a true zero is exact in any IEEE mode — this does
+            # not rely on rounding behavior, only on the predicate
+            # staying false, which unpack-tested results guarantee)
             dep = jnp.where(carry[0, 0] == INF_KEY + 1, 1.0, 0.0)
             return ph._pallas_topk(q + dep.astype(q.dtype), db, k=k,
                                    length=length, q_tile=q_tile,

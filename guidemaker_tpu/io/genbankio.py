@@ -25,6 +25,13 @@ def _parse_location(loc: str):
 
     start is 0-based inclusive, end 0-based exclusive (Biopython convention:
     ``location.start = min-1``, ``location.end = max``).
+
+    ``join(...)`` locations reduce to their (min, max) envelope — exactly
+    what the reference consumes (Biopython's ``.start``/``.end`` across a
+    CompoundLocation are the envelope bounds, core.py:735-739).  KNOWN
+    LIMIT shared with the reference: a join that wraps the origin of a
+    circular genome (e.g. ``join(9000..9500,1..200)``) envelopes to
+    nearly the whole sequence; neither implementation splits it.
     """
     strand = -1 if "complement" in loc else 1
     nums = [int(m) for m in _NUM.findall(loc)]
