@@ -436,7 +436,7 @@ def _main_body():
                 e2e_seconds, e2e_guides, transport = run_e2e(stages)
                 runs.append((e2e_seconds, stages, transport, e2e_guides))
                 record["e2e_seconds_runs"] = [round(r[0], 2) for r in runs]
-                best = min(runs)
+                best = min(runs, key=lambda r: r[0])
                 record["e2e_seconds"] = round(best[0], 2)
                 record["e2e_transport_wait_s"] = round(best[2], 2)
                 record["e2e_compute_s"] = round(best[0] - best[2], 2)
