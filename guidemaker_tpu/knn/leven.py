@@ -567,6 +567,14 @@ def leven_pass_filter(q_codes: np.ndarray, db_codes: np.ndarray,
     q_tile = min(1024, max(8, 1 << (nq - 1).bit_length()))
     q_tile, db_tile = clamp_tiles(q_tile, db_tile)
     db_pad = _pad_code_rows(db_codes, db_tile)
+    if q_codes is not db_codes and q_codes.shape == db_codes.shape \
+            and np.array_equal(q_codes, db_codes):
+        # all-vs-all by value (the pipeline re-encodes its query column,
+        # so identity never triggers): reusing the db feature matrix
+        # keeps the counting grid identical to the Hamming retention
+        # program — a cache hit instead of a fresh ~10 s compile for the
+        # pow2-padded query shape
+        q_codes = db_codes
     if e == 2:
         # Exact shortcut for the default threshold: between EQUAL-LENGTH
         # strings a single length-preserving edit must be a substitution,
