@@ -161,7 +161,7 @@ def load_targets(path, pam="NGG", orientation="5prime", length=20):
 REPS_LO, REPS_HI = 8, 64
 
 
-def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=3):
+def bench_cruddii(codes, k, length, *, db_tile=1024, q_tile=512, repeats=5):
     """C. ruddii k=3 steady-state: dependency-chained reps inside one jit,
     slope-timed to cancel the tunnel RTT (the baseline's 0.090 s measured
     in-memory local compute)."""
