@@ -282,49 +282,47 @@ class Annotation:
                                  on="Guide sequence")
 
         targets = targetprocessor_object.targets
-        ctx = substage_timer("format: targets merge")
-        ctx.__enter__()
-        # positional mapping instead of the reference's 4-key string
-        # merge: a PAM target is uniquely identified by
-        # (accession, start, strand) — the sequence/stop keys of the
-        # reference merge are redundant — so the "merge" is one int64
-        # get_indexer + three column takes.  Equivalent to the old
-        # how="left" merge (targets rows are unique on the key; missing
-        # keys, impossible for rows that came from export_bed, would map
-        # to NaN exactly as a left join does).
-        t_keep = targets["target"].isin(need).to_numpy()
-        targets = targets[t_keep]
-        acc_cats = pd.Index(pd.unique(targets["seqid"].astype(str)))
-        t_acc = acc_cats.get_indexer(targets["seqid"].astype(str))
-        t_strand = targets["strand"].to_numpy().astype(np.int64)
-        t_key = ((t_acc.astype(np.int64) << 34)
-                 | (targets["start"].to_numpy(np.int64) << 1) | t_strand)
-        p_acc_map = acc_cats.get_indexer(
-            pretty_df["Accession"].cat.categories)
-        p_acc = p_acc_map[pretty_df["Accession"].cat.codes.to_numpy()]
-        p_strand = (pretty_df["Guide strand"].to_numpy() == "+") \
-            .astype(np.int64)
-        p_key = ((p_acc.astype(np.int64) << 34)
-                 | (pretty_df["Guide start"].to_numpy(np.int64) << 1)
-                 | p_strand)
-        pos = pd.Index(t_key).get_indexer(p_key)
-        hit = pos >= 0
-        safe_pos = np.where(hit, pos, 0)
-        for src, dst in (("dtype", "dtype"), ("exact_pam", "PAM"),
-                         ("target_seq30", "target_seq30")):
-            # positional take on the Arrow-backed column (C++; no Python
-            # strings), re-axised onto pretty_df's index
-            vals = targets[src].iloc[safe_pos].set_axis(pretty_df.index)
-            if not hit.all():                 # left-join NaN semantics
-                vals[~hit] = None
-            pretty_df[dst] = vals
-        pretty_df = pretty_df[[
-            "Guide name", "Guide sequence", "GC", "dtype", "Accession",
-            "Guide start", "Guide end", "Guide strand", "PAM", "Feature id",
-            "Feature start", "Feature end", "Feature strand",
-            "Feature distance", "Similar guides", "Similar guide distances",
-            "target_seq30"]]
-        ctx.__exit__(None, None, None)
+        with substage_timer("format: targets merge"):
+            # positional mapping instead of the reference's 4-key string
+            # merge: a PAM target is uniquely identified by
+            # (accession, start, strand) — the sequence/stop keys of the
+            # reference merge are redundant — so the "merge" is one int64
+            # get_indexer + three column takes.  Equivalent to the old
+            # how="left" merge (targets rows are unique on the key; missing
+            # keys, impossible for rows that came from export_bed, would map
+            # to NaN exactly as a left join does).
+            t_keep = targets["target"].isin(need).to_numpy()
+            targets = targets[t_keep]
+            acc_cats = pd.Index(pd.unique(targets["seqid"].astype(str)))
+            t_acc = acc_cats.get_indexer(targets["seqid"].astype(str))
+            t_strand = targets["strand"].to_numpy().astype(np.int64)
+            t_key = ((t_acc.astype(np.int64) << 34)
+                     | (targets["start"].to_numpy(np.int64) << 1) | t_strand)
+            p_acc_map = acc_cats.get_indexer(
+                pretty_df["Accession"].cat.categories)
+            p_acc = p_acc_map[pretty_df["Accession"].cat.codes.to_numpy()]
+            p_strand = (pretty_df["Guide strand"].to_numpy() == "+") \
+                .astype(np.int64)
+            p_key = ((p_acc.astype(np.int64) << 34)
+                     | (pretty_df["Guide start"].to_numpy(np.int64) << 1)
+                     | p_strand)
+            pos = pd.Index(t_key).get_indexer(p_key)
+            hit = pos >= 0
+            safe_pos = np.where(hit, pos, 0)
+            for src, dst in (("dtype", "dtype"), ("exact_pam", "PAM"),
+                             ("target_seq30", "target_seq30")):
+                # positional take on the Arrow-backed column (C++; no Python
+                # strings), re-axised onto pretty_df's index
+                vals = targets[src].iloc[safe_pos].set_axis(pretty_df.index)
+                if not hit.all():                 # left-join NaN semantics
+                    vals[~hit] = None
+                pretty_df[dst] = vals
+            pretty_df = pretty_df[[
+                "Guide name", "Guide sequence", "GC", "dtype", "Accession",
+                "Guide start", "Guide end", "Guide strand", "PAM", "Feature id",
+                "Feature start", "Feature end", "Feature strand",
+                "Feature distance", "Similar guides", "Similar guide distances",
+                "target_seq30"]]
         with substage_timer("format: quals merge+sort"):
             # qualifier columns via category-level mapping: Feature id is
             # Categorical with ~#features levels, so one get_indexer over

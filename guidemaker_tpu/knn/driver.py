@@ -345,7 +345,20 @@ class KnnIndex:
                     return stream_topk_device(qc, db_dev, nd, k,
                                               self.length,
                                               db_tile=db_tile, q_tile=256)
-                dists, idxs = [], []
+                # dispatch ALL chunks, then drain the tiny key blocks in
+                # one batched fetch — per-chunk fetching serialized each
+                # chunk's host one-hot prep behind the previous chunk's
+                # transfer (same pattern as leven_topk's fetch_list)
+                import jax
+                import jax.numpy as jnp
+                from . import pallas_hamming as ph
+                from .pallas_stream import _stream_topk
+                from .hamming import unpack_keys
+                from ..util import fetch_list
+                interpret = jax.default_backend() != "tpu"
+                k_eff = min(k, nd, 128)
+                qt, _ = ph.clamp_tiles(min(256, ch), db_tile)
+                devs, ms = [], []
                 for lo in range(0, nq, ch):
                     part = qc[lo:lo + ch]
                     m = part.shape[0]
@@ -353,12 +366,28 @@ class KnnIndex:
                         part = np.concatenate(
                             [part, np.full((ch - m, self.length), 4,
                                            np.uint8)])
-                    d, i = stream_topk_device(part, db_dev, nd, k,
-                                              self.length,
-                                              db_tile=db_tile, q_tile=256)
-                    dists.append(d[:m])
-                    idxs.append(i[:m])
-                return np.concatenate(dists), np.concatenate(idxs)
+                    q_dev = ph._onehot_on_device(jnp.asarray(part))
+                    keys = _stream_topk(q_dev, db_dev, k=k_eff,
+                                        length=self.length, q_tile=qt,
+                                        db_tile=db_tile,
+                                        interpret=interpret)
+                    devs.append(keys[:m, :k_eff])
+                    ms.append(m)
+                dists, idxs = [], []
+                for out in fetch_list(devs):
+                    d, i = unpack_keys(np.asarray(out))
+                    bad = i >= nd
+                    d[bad] = -1
+                    i[bad] = -1
+                    dists.append(d)
+                    idxs.append(i)
+                d = np.concatenate(dists)
+                i = np.concatenate(idxs)
+                if k_eff < k:
+                    pad = np.full((nq, k - k_eff), -1, dtype=np.int32)
+                    d = np.concatenate([d, pad], axis=1)
+                    i = np.concatenate([i, pad], axis=1)
+                return d, i
             return ph.pallas_topk_device(None, db_dev, nd, k,
                                          self.length, db_tile=db_tile,
                                          q_codes=qc)
@@ -590,6 +619,14 @@ class KnnIndex:
         out = masks[0] if len(masks) == 1 else jnp.concatenate(masks)
         return fetch(out)
 
+    def supports_chunk_triage(self, editdist: int) -> bool:
+        """True iff :meth:`pass_mask_chunks` will run (the fixed-shape
+        streaming triage) — lets the control ladder pick its path ONCE
+        instead of sampling a chunk group per rung only to discard it
+        when the backend says no."""
+        return (self.backend == "pallas" and not _use_packed(self.length)
+                and editdist <= self.length)
+
     def pass_mask_chunks(self, chunks, editdist: int):
         """:meth:`pass_mask_within` over a list of EQUAL-SHAPE device
         candidate chunks — every dispatch reuses ONE fixed-shape counting
@@ -604,8 +641,7 @@ class KnnIndex:
         program.  Returns one uint8 mask over all chunk rows in order
         (callers slice off any tail rows beyond the rung size).
         """
-        if (self.backend != "pallas" or _use_packed(self.length)
-                or editdist > self.length):
+        if not self.supports_chunk_triage(editdist):
             return None
         import jax
         import jax.numpy as jnp

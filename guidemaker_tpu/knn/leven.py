@@ -225,8 +225,12 @@ def leven_topk(q_codes: np.ndarray, db_codes: np.ndarray, k: int, *,
         # set — a prewarmed executable beats saving <8191 rows of DP
         # (~0.7 s device vs a ~4 s compile + load)
         if nq > chunk:
-            qt = q_tile
-            q_pad = _pad_rows(qc, chunk)
+            # clamp the tile to the chunk (a caller-supplied chunk below
+            # q_tile otherwise yields a zero-tile reshape in the scan)
+            # and pad every chunk to a whole number of tiles — one fixed
+            # shape for all chunks regardless of the chunk/q_tile ratio
+            qt = min(q_tile, chunk)
+            q_pad = _pad_rows(qc, -(-chunk // qt) * qt)
         else:
             q_pad = _pad_rows(qc, bucket_rows(m, qt))
         # dispatch only — every chunk queues on the device; ONE batched

@@ -162,6 +162,7 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         import time as _time
         profile_cm = maybe_profile(cfg.profile)
         profile_cm.__enter__()
+        profile_open = [True]
         nb_exc: List[BaseException] = []
         t_nb0 = _time.time()
 
@@ -179,11 +180,27 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         def _join_neighbors():
             with stage_timer("exact k-NN"):
                 nb_t.join()
-            profile_cm.__exit__(None, None, None)
+            if profile_open[0]:
+                profile_open[0] = False
+                profile_cm.__exit__(None, None, None)
             logger.debug("retention pass total %.2fs (incl. overlapped)",
                          _time.time() - t_nb0)
             if nb_exc:
                 raise nb_exc[0]
+
+        def _cleanup_neighbors():
+            # exception path before the join: finalize the profiler trace
+            # and surface (log) a retention failure that would otherwise
+            # be masked by the in-flight exception
+            if profile_open[0]:
+                profile_open[0] = False
+                try:
+                    profile_cm.__exit__(None, None, None)
+                except Exception:
+                    pass
+            if nb_exc:
+                logger.error("background retention pass also failed: %r",
+                             nb_exc[0])
 
         tf_df = tl.export_bed()
         result.raw_bed = tf_df
@@ -313,5 +330,8 @@ def run_pipeline(cfg: PipelineConfig, write_outputs: bool = True) -> PipelineRes
         logger.info("Guide RNA candidates found: %d", len(prettydf))
         return result
     finally:
+        cleanup = locals().get("_cleanup_neighbors")
+        if cleanup is not None:
+            cleanup()
         if owns_tempdir and not cfg.keeptemp:
             shutil.rmtree(tempdir, ignore_errors=True)

@@ -351,35 +351,33 @@ class TargetProcessor:
         # 100k-row python loop
         import pyarrow as pa
         import pyarrow.compute as pc
-        ctx = substage_timer("nbframe: arrow assembly")
-        ctx.__enter__()
-        valid = d >= 0
-        db_arr = self.index.seq_array   # Arrow, no Python strings
-        if pa.types.is_large_string(db_arr.type):
-            # the ';' literal below binds as `string`; the elementwise
-            # join kernel wants uniform types
-            db_arr = db_arr.cast(pa.string())
-        seq_cols, dist_cols = [], []
-        for c in range(d.shape[1]):
-            v = pa.array(valid[:, c])
-            idx = pc.if_else(v, pa.array(i[:, c].astype(np.int32)),
-                             pa.scalar(None, pa.int32()))
-            seq_cols.append(pc.take(db_arr, idx))
-            dist_cols.append(pc.if_else(
-                v, pc.cast(pa.array(d[:, c].astype(np.int32)), pa.string()),
-                pa.scalar(None, pa.string())))
-        # column 0 must never be null: the Arrow join DROPS (not
-        # empties) all-null rows, which would misalign the frame.  A
-        # row can only be all-invalid if d[:, 0] < 0, impossible for
-        # member queries (self-hit) — fill_null('') makes the length
-        # invariant unconditional anyway.
-        seq_cols[0] = pc.fill_null(seq_cols[0], "")
-        dist_cols[0] = pc.fill_null(dist_cols[0], "")
-        seq_strs = pc.binary_join_element_wise(
-            *seq_cols, ";", null_handling="skip")
-        dist_strs = pc.binary_join_element_wise(
-            *dist_cols, ";", null_handling="skip")
-        ctx.__exit__(None, None, None)
+        with substage_timer("nbframe: arrow assembly"):
+            valid = d >= 0
+            db_arr = self.index.seq_array   # Arrow, no Python strings
+            if pa.types.is_large_string(db_arr.type):
+                # the ';' literal below binds as `string`; the elementwise
+                # join kernel wants uniform types
+                db_arr = db_arr.cast(pa.string())
+            seq_cols, dist_cols = [], []
+            for c in range(d.shape[1]):
+                v = pa.array(valid[:, c])
+                idx = pc.if_else(v, pa.array(i[:, c].astype(np.int32)),
+                                 pa.scalar(None, pa.int32()))
+                seq_cols.append(pc.take(db_arr, idx))
+                dist_cols.append(pc.if_else(
+                    v, pc.cast(pa.array(d[:, c].astype(np.int32)), pa.string()),
+                    pa.scalar(None, pa.string())))
+            # column 0 must never be null: the Arrow join DROPS (not
+            # empties) all-null rows, which would misalign the frame.  A
+            # row can only be all-invalid if d[:, 0] < 0, impossible for
+            # member queries (self-hit) — fill_null('') makes the length
+            # invariant unconditional anyway.
+            seq_cols[0] = pc.fill_null(seq_cols[0], "")
+            dist_cols[0] = pc.fill_null(dist_cols[0], "")
+            seq_strs = pc.binary_join_element_wise(
+                *seq_cols, ";", null_handling="skip")
+            dist_strs = pc.binary_join_element_wise(
+                *dist_cols, ";", null_handling="skip")
         return pd.DataFrame({
             "Guide sequence": list(seqs),
             "Similar guides": seq_strs.to_pylist(),
@@ -438,8 +436,11 @@ class TargetProcessor:
         def _warm_verify():
             try:
                 # verify batches pad to _PASSER_CAP multiples (pow2
-                # bucketed above it): warm the two usual executables
-                for rows in (_PASSER_CAP, 4 * _PASSER_CAP):
+                # bucketed above that): warm the first bucket plus the
+                # one an n-request's accumulated pool typically lands in
+                near_n = max(_PASSER_CAP,
+                             1 << (int(max(2 * n, 1) - 1).bit_length()))
+                for rows in sorted({_PASSER_CAP, near_n}):
                     self.index.hamming_query_codes(
                         np.zeros((rows, length), np.uint8), k=1)
             except Exception:
@@ -592,6 +593,10 @@ class TargetProcessor:
             sort_seq = dna.decode_rows(pc_all[order])
             return sort_seq, sort_dist, search_mult, searched
 
+        # pick the triage path ONCE (the support condition is rung-
+        # invariant): probing per rung sampled a chunk group only to
+        # discard it on backends without the fixed-shape triage
+        chunked_ok = self.index.supports_chunk_triage(minimum_hmdist_target)
         search_mult = 0
         for rung, search_mult in enumerate(multiples):
             t_rung = time.time()
@@ -599,8 +604,7 @@ class TargetProcessor:
             rkey = jax.random.fold_in(key, rung)
             nchunks = -(-m // chunk)
             c0 = 0
-            chunked_ok = True
-            while c0 < nchunks:
+            while chunked_ok and c0 < nchunks:
                 grp = list(range(c0, min(c0 + _TRIAGE_GROUP, nchunks)))
                 chunks = [sample_codes(jax.random.fold_in(rkey, c), cum,
                                        m=chunk, length=length)
@@ -610,7 +614,7 @@ class TargetProcessor:
                 # once per group, not once per chunk
                 pm = self.index.pass_mask_chunks(chunks,
                                                  minimum_hmdist_target)
-                if pm is None:
+                if pm is None:      # defensive: gate said yes, kernel said no
                     chunked_ok = False
                     break
                 valid = min(len(grp) * chunk, m - c0 * chunk)
@@ -637,11 +641,12 @@ class TargetProcessor:
                 # packed/xla/native backends: monolithic rung mask (or
                 # exact k=1 when counting is unsupported), same
                 # accumulation and early-exit semantics per rung
-                codes_dev = (chunks[0] if nchunks == 1
-                             else jnp.concatenate(
-                                 [sample_codes(jax.random.fold_in(rkey, c),
-                                               cum, m=chunk, length=length)
-                                  for c in range(nchunks)]))[:m]
+                codes_dev = jnp.concatenate(
+                    [sample_codes(jax.random.fold_in(rkey, c), cum,
+                                  m=chunk, length=length)
+                     for c in range(nchunks)])[:m] if nchunks > 1 else \
+                    sample_codes(jax.random.fold_in(rkey, 0), cum,
+                                 m=chunk, length=length)[:m]
                 pm = self.index.pass_mask_within(codes_dev,
                                                  minimum_hmdist_target,
                                                  chunk=max(chunk, 1 << 21))
