@@ -304,10 +304,18 @@ def cold_e2e_child():
                     flush=True)
 
     logging.getLogger("guidemaker_tpu.timing").addHandler(StageStream())
+    # the child's own host-throttle probe: the parent's probe does not
+    # cover the child's phase (observed: child stages inflated 5-6x
+    # while the parent ran healthy)
+    t0 = time.time()
+    np.sort(np.random.default_rng(0).integers(0, 1 << 40, 8_000_000))
+    probe = round(time.time() - t0, 2)
+    print(json.dumps({"cold_host_sort8m_s": probe}), flush=True)
     stages: dict = {}
     e2e, guides, transport = run_e2e(stages)
     out = {"cold_e2e_seconds": round(e2e, 2),
            "cold_first_d2h_s": first_d2h[0],
+           "cold_host_sort8m_s": probe,
            "cold_transport_wait_s": round(transport, 2),
            "cold_e2e_compute_s": round(e2e - transport, 2),
            "cold_stages": {k: round(v, 2) for k, v in stages.items()},
@@ -633,6 +641,8 @@ def _main_body():
                     "cold_transport_wait_s")
                 record["e2e_cold_compute_s"] = cold.get("cold_e2e_compute_s")
                 record["e2e_cold_stages"] = cold["cold_stages"]
+                record["e2e_cold_host_sort8m_s"] = cold.get(
+                    "cold_host_sort8m_s")
                 record["e2e_cold_process_wall_s"] = round(wall, 2)
                 log(f"  cold e2e: {cold['cold_e2e_seconds']} s pipeline "
                     f"({wall:.1f} s process wall, first d2h "
